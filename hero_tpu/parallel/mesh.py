@@ -1,0 +1,88 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for Horovod.
+
+The reference runs one process per GPU with hand-rolled NCCL collectives
+(``utils/distributed.py``, ``model/pretrain.py:427-451``).  Here the whole
+distribution story is GSPMD: batches are sharded over a 1-D ``data`` mesh
+axis, params are replicated, and a single ``jit`` of the *global* step makes
+XLA insert every collective:
+
+- gradient allreduce        → automatic psum (replicated params, sharded batch)
+- VSM differentiable allgather of in-batch negatives
+                            → automatic: the VSM loss contracts query × video
+                              score matrices over the *global* batch, so XLA
+                              all-gathers activations over ICI, and the
+                              backward slice (reference ``VsmAllgather``) is
+                              just autodiff of that gather.
+- pickled-object allgather  → :func:`host_allgather` (DCN, eval-side only)
+
+A named ``seq`` axis is reserved for future sequence parallelism (the
+reference caps sequence length instead; SURVEY §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SEQ_AXIS = "seq"
+
+
+def get_mesh(n_devices: Optional[int] = None,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A 1-D data-parallel mesh over all (or the first n) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put every array in a batch pytree, sharding dim 0 on 'data'."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def host_allgather(obj: Any) -> list:
+    """Gather an arbitrary picklable python object from every host process.
+
+    Replacement for the reference's length-prefixed pickle-over-allgather
+    (``utils/distributed.py:154-198``); used for metrics/result merging off
+    the hot path. Single-process → trivial list.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+    import pickle
+
+    payload = pickle.dumps(obj)
+    n = np.array([len(payload)], dtype=np.int32)
+    all_n = multihost_utils.process_allgather(n).reshape(-1)
+    max_n = int(all_n.max())
+    buf = np.zeros((max_n,), dtype=np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    return [pickle.loads(gathered[i, :int(all_n[i])].tobytes())
+            for i in range(jax.process_count())]

@@ -1,0 +1,32 @@
+"""Misc helpers (reference ``utils/misc.py``)."""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+import numpy as np
+
+
+class Struct:
+    """dict → attribute access (used to reload train-time hps.json as the
+    serve-time config, matching reference ``eval_vcmr.py:56-58``)."""
+
+    def __init__(self, d: dict):
+        self.__dict__.update(d)
+
+    def __contains__(self, k) -> bool:
+        return k in self.__dict__
+
+    def get(self, k, default=None) -> Any:
+        return self.__dict__.get(k, default)
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def set_random_seed(seed: int) -> None:
+    """Seed host-side RNGs (python + numpy). Device-side randomness is
+    exclusively jax.random keyed from the experiment seed."""
+    random.seed(seed)
+    np.random.seed(seed)

@@ -1,0 +1,104 @@
+"""Unit tests for the Pallas kernels (interpret mode) vs jnp references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hero_tpu.ops.attention import (_fused_attention, mha_reference,
+                                    multi_head_attention)
+from hero_tpu.ops.layernorm import (_fused_layer_norm, layer_norm,
+                                    layer_norm_reference)
+
+
+def test_mha_reference_masking():
+    rng = jax.random.PRNGKey(0)
+    B, H, L, d = 2, 2, 16, 8
+    q, k, v = jax.random.normal(rng, (3, B, H, L, d))
+    mask = jnp.ones((B, L)).at[:, 10:].set(0.0)
+    out = mha_reference(q, k, v, mask)
+    # changing masked-out keys must not change the output (up to the
+    # -1e4 additive-softmax leak, which is ~e^-10000 = 0)
+    k2 = k.at[:, :, 10:, :].add(100.0)
+    v2 = v.at[:, :, 10:, :].add(100.0)
+    out2 = mha_reference(q, k2, v2, mask)
+    np.testing.assert_allclose(out, out2, atol=1e-5)
+
+
+def test_fused_attention_matches_reference():
+    rng = jax.random.PRNGKey(1)
+    B, H, L, d = 2, 3, 128, 16
+    q, k, v = jax.random.normal(rng, (3, B, H, L, d), dtype=jnp.float32)
+    mask = jnp.ones((B, L)).at[0, 100:].set(0.0)
+    seed = jnp.zeros((1,), jnp.int32)
+    out_p = _fused_attention(q, k, v, mask, seed, 0.0, True)
+    out_r = mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5, rtol=2e-5)
+
+
+def test_fused_attention_grads_match():
+    rng = jax.random.PRNGKey(2)
+    B, H, L, d = 1, 2, 128, 8
+    q, k, v = jax.random.normal(rng, (3, B, H, L, d), dtype=jnp.float32)
+    mask = jnp.ones((B, L)).at[:, 90:].set(0.0)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_p(q, k, v):
+        return jnp.sum(_fused_attention(q, k, v, mask, seed, 0.0, True) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, mask) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_multi_head_attention_dispatcher_cpu():
+    rng = jax.random.PRNGKey(3)
+    B, H, L, d = 2, 2, 20, 8  # unaligned L exercises the jnp path shape
+    q, k, v = jax.random.normal(rng, (3, B, H, L, d))
+    out = multi_head_attention(q, k, v)
+    assert out.shape == (B, H, L, d)
+
+
+def test_layer_norm_matches_reference():
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.normal(rng, (10, 3, 256)) * 3 + 1
+    w = jax.random.normal(jax.random.PRNGKey(5), (256,))
+    b = jax.random.normal(jax.random.PRNGKey(6), (256,))
+    ref = layer_norm_reference(x, w, b)
+    x2 = x.reshape(-1, 256)
+    n = x2.shape[0]
+    pad = (-n) % 8
+    x2p = jnp.pad(x2, ((0, pad), (0, 0)))
+    out = _fused_layer_norm(x2p, w, b, 1e-5, True)[:n].reshape(x.shape)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_grads_match():
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (16, 128))
+    w = jnp.ones((128,)) * 1.5
+    b = jnp.zeros((128,))
+
+    def loss_p(x, w, b):
+        return jnp.sum(_fused_layer_norm(x, w, b, 1e-5, True) ** 3)
+
+    def loss_r(x, w, b):
+        return jnp.sum(layer_norm_reference(x, w, b) ** 3)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(a, b_, atol=5e-4, rtol=5e-4)
+
+
+def test_layer_norm_public_wrapper():
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 7, 64))
+    w = jnp.ones((64,))
+    b = jnp.zeros((64,))
+    out = layer_norm(x, w, b)  # jnp path on CPU
+    np.testing.assert_allclose(out, layer_norm_reference(x, w, b),
+                               atol=1e-6)
