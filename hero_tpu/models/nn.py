@@ -1,0 +1,154 @@
+"""Functional NN primitives for the hero_tpu model stack.
+
+Parameters are plain nested dicts of ``jnp`` arrays (a pytree), initialized by
+``init_*`` functions and consumed by pure ``apply`` functions — idiomatic JAX
+instead of the reference's ``nn.Module`` graph (HERO ``model/layers.py``).
+Conventions:
+
+- Linear kernels are stored ``(in, out)`` (JAX layout; the torch checkpoint
+  converter transposes the reference's ``(out, in)``).
+- Params are fp32; compute runs in a caller-chosen ``dtype`` (bf16 on TPU).
+- Dropout takes an explicit PRNG key and is a no-op when ``rng is None``.
+- Init matches the reference ``init_weights`` (normal(0.02) weights, zero
+  biases, LN scale=1/bias=0; reference ``model/encoder.py:164-177``).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hero_tpu.ops.layernorm import layer_norm as _fused_layer_norm
+
+Params = Dict[str, Any]
+
+MASK_VAL = -1e4  # additive "impossible" logit (reference modeling_utils.py:42)
+
+
+def rng_for(rng: Optional[jax.Array], tag: str) -> Optional[jax.Array]:
+    """Derive a named sub-stream from an optional PRNG key."""
+    if rng is None:
+        return None
+    return jax.random.fold_in(rng, zlib.crc32(tag.encode()) & 0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# activations (reference model/layers.py:16-45)
+# ---------------------------------------------------------------------------
+
+def gelu(x):
+    return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def gelu_new(x):
+    return 0.5 * x * (1.0 + jnp.tanh(
+        math.sqrt(2.0 / math.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+ACT2FN = {"gelu": gelu, "relu": jax.nn.relu, "swish": swish,
+          "gelu_new": gelu_new}
+
+
+# ---------------------------------------------------------------------------
+# linear / embedding / layernorm
+# ---------------------------------------------------------------------------
+
+def init_linear(rng, d_in: int, d_out: int, bias: bool = True,
+                std: float = 0.02) -> Params:
+    p = {"kernel": std * jax.random.normal(rng, (d_in, d_out), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def linear(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    dtype = dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),
+                preferred_element_type=dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def init_embedding(rng, n: int, d: int, std: float = 0.02,
+                   padding_idx: Optional[int] = None) -> jax.Array:
+    w = std * jax.random.normal(rng, (n, d), jnp.float32)
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return w
+
+
+def embedding_lookup(table: jax.Array, ids: jax.Array, dtype=None):
+    dtype = dtype or table.dtype
+    return jnp.take(table.astype(dtype), ids, axis=0)
+
+
+def init_layer_norm(d: int) -> Params:
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def apply_layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    return _fused_layer_norm(x, p["scale"], p["bias"], eps)
+
+
+def dropout(x: jax.Array, rate: float,
+            rng: Optional[jax.Array]) -> jax.Array:
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# composite layers from the reference
+# ---------------------------------------------------------------------------
+
+def init_mlp_layer(rng, d_in: int, d_out: int) -> Params:
+    """MLPLayer: linear(d,2d) → gelu → LN → linear(2d,out)
+    (reference model/layers.py:48-61)."""
+    r1, r2 = jax.random.split(rng)
+    return {"linear_1": init_linear(r1, d_in, d_in * 2),
+            "ln": init_layer_norm(d_in * 2),
+            "linear_2": init_linear(r2, d_in * 2, d_out)}
+
+
+def mlp_layer(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    h = gelu(linear(p["linear_1"], x, dtype))
+    h = apply_layer_norm(p["ln"], h)
+    return linear(p["linear_2"], h, dtype)
+
+
+def init_linear_layer(rng, d_in: int, d_out: int,
+                      layer_norm: bool = True) -> Params:
+    """LinearLayer: [LN] → dropout → linear → [relu]
+    (reference model/layers.py:70-93)."""
+    p = {"dense": init_linear(rng, d_in, d_out)}
+    if layer_norm:
+        p["ln"] = init_layer_norm(d_in)
+    return p
+
+
+def linear_layer(p: Params, x: jax.Array, *, relu: bool = True,
+                 dropout_rate: float = 0.1,
+                 rng: Optional[jax.Array] = None, dtype=None) -> jax.Array:
+    if "ln" in p:
+        x = apply_layer_norm(p["ln"], x)
+    x = dropout(x, dropout_rate, rng)
+    x = linear(p["dense"], x, dtype)
+    if relu:
+        x = jax.nn.relu(x)
+    return x
+
+
+def mask_logits(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """reference modeling_utils.py:42-43: inputs + (1 - mask) * -1e4."""
+    return logits + (1.0 - mask.astype(logits.dtype)) * MASK_VAL

@@ -44,7 +44,8 @@ def _round_up(x: int, m: int) -> int:
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   kv_mask: Optional[jax.Array],
                   dropout_rate: float = 0.0,
-                  dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+                  dropout_rng: Optional[jax.Array] = None,
+                  causal: bool = False) -> jax.Array:
     """q,k,v: (B, H, L, d); kv_mask: (B, Lk) 1=valid. Returns (B, H, Lq, d)."""
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -52,6 +53,11 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     if kv_mask is not None:
         bias = (1.0 - kv_mask.astype(jnp.float32)) * NEG_INF
         s = s + bias[:, None, None, :]
+    if causal:
+        Lq, Lk = q.shape[2], k.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+        s = s + jnp.where(col > row + (Lk - Lq), NEG_INF, 0.0)
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
@@ -72,21 +78,29 @@ def _dropout_keep_mask(shape, rate: float):
     return u >= rate
 
 
+def _causal_bias(Lq: int, Lk: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+    return jnp.where(col > row + (Lk - Lq), NEG_INF, 0.0)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale: float, dropout_rate: float):
+                scale: float, dropout_rate: float, causal: bool):
     b, h = pl.program_id(0), pl.program_id(1)
     q = q_ref[0, 0].astype(jnp.float32)          # (Lq, d)
     k = k_ref[0, 0].astype(jnp.float32)          # (Lk, d)
     v = v_ref[0, 0].astype(jnp.float32)          # (Lk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    bias = (1.0 - mask_ref[0]) * NEG_INF          # (Lk,)
-    s = s + bias[None, :]
+    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
+    s = s + bias
+    if causal:
+        s = s + _causal_bias(s.shape[0], s.shape[1])
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], b, h)
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
         keep = _dropout_keep_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)
@@ -95,7 +109,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float,
-                dropout_rate: float):
+                dropout_rate: float, causal: bool):
     b, h = pl.program_id(0), pl.program_id(1)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -103,13 +117,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     do = do_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    bias = (1.0 - mask_ref[0]) * NEG_INF
-    s = s + bias[None, :]
+    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
+    s = s + bias
+    if causal:
+        s = s + _causal_bias(s.shape[0], s.shape[1])
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], b, h)
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
         keep = _dropout_keep_mask(p.shape, dropout_rate)
         inv_keep = 1.0 / (1.0 - dropout_rate)
         pd = jnp.where(keep, p * inv_keep, 0.0)
@@ -141,23 +157,26 @@ def _bh_specs(B, H, L, d):
 
 
 def _mask_spec(B, L):
-    return pl.BlockSpec((1, L), lambda b, h, *_: (b, 0),
+    # mask arrives as (B, 1, L); block (1, 1, L) keeps the trailing dims
+    # equal to the array dims (Mosaic requires sublane%8==0 or full-dim)
+    return pl.BlockSpec((1, 1, L), lambda b, h, *_: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_attention(q, k, v, mask, seed_arr, dropout_rate, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_attention(q, k, v, mask, seed_arr, dropout_rate, interpret,
+                     causal):
     return _fused_attention_fwd(q, k, v, mask, seed_arr, dropout_rate,
-                                interpret)[0]
+                                interpret, causal)[0]
 
 
-def _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret):
+def _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret, causal):
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     grid = (B, H)
     kernel = functools.partial(_fwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, causal=causal)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -169,21 +188,23 @@ def _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, d), q.dtype),
         interpret=interpret,
-    )(seed_arr, q, k, v, mask)
+    )(seed_arr, q, k, v, mask.reshape(B, 1, Lk))
 
 
-def _fused_attention_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret):
-    out = _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret)
+def _fused_attention_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret,
+                         causal):
+    out = _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret,
+                      causal)
     return out, (q, k, v, mask, seed_arr)
 
 
-def _fused_attention_bwd(dropout_rate, interpret, res, do):
+def _fused_attention_bwd(dropout_rate, interpret, causal, res, do):
     q, k, v, mask, seed_arr = res
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(_bwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate)
+                               dropout_rate=dropout_rate, causal=causal)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -199,7 +220,7 @@ def _fused_attention_bwd(dropout_rate, interpret, res, do):
                    jax.ShapeDtypeStruct((B, H, Lk, d), k.dtype),
                    jax.ShapeDtypeStruct((B, H, Lk, d), v.dtype)],
         interpret=interpret,
-    )(seed_arr, q, k, v, mask, do)
+    )(seed_arr, q, k, v, mask.reshape(B, 1, Lk), do)
     return dq, dk, dv, None, None
 
 
@@ -214,12 +235,13 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          kv_mask: Optional[jax.Array] = None,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None,
+                         causal: bool = False,
                          use_pallas: Optional[bool] = None) -> jax.Array:
     """Scaled dot-product attention over (B, H, L, d) tensors.
 
-    ``kv_mask``: (B, Lk) with 1 = valid key. Padding-mask only (HERO has no
-    causal attention outside the TVC decoder, which handles its own mask by
-    folding it into ``kv_mask`` per step or using the jnp path).
+    ``kv_mask``: (B, Lk) with 1 = valid key.  ``causal=True`` additionally
+    applies a lower-triangular mask (TVC decoder self-attention; requires
+    Lq == Lk on the Pallas path so padding preserves the diagonal).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -228,9 +250,12 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.float32)
     kv_mask = kv_mask.astype(jnp.float32)
+    if causal and Lq != Lk:
+        use_pallas = False
 
     if not use_pallas:
-        return mha_reference(q, k, v, kv_mask, dropout_rate, dropout_rng)
+        return mha_reference(q, k, v, kv_mask, dropout_rate, dropout_rng,
+                             causal)
 
     # Pad sequence dims to lane-aligned multiples; padded keys get mask=0.
     Lq_p = _round_up(max(Lq, 8), 128)
@@ -252,7 +277,7 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     interpret = jax.default_backend() != "tpu"
     out = _fused_attention(q, k, v, kv_mask, seed_arr, dropout_rate,
-                           interpret)
+                           interpret, causal)
     if pad_q:
         out = out[:, :, :Lq, :]
     return out

@@ -31,7 +31,7 @@ def test_fused_attention_matches_reference():
     q, k, v = jax.random.normal(rng, (3, B, H, L, d), dtype=jnp.float32)
     mask = jnp.ones((B, L)).at[0, 100:].set(0.0)
     seed = jnp.zeros((1,), jnp.int32)
-    out_p = _fused_attention(q, k, v, mask, seed, 0.0, True)
+    out_p = _fused_attention(q, k, v, mask, seed, 0.0, True, False)
     out_r = mha_reference(q, k, v, mask)
     np.testing.assert_allclose(out_p, out_r, atol=2e-5, rtol=2e-5)
 
@@ -44,7 +44,7 @@ def test_fused_attention_grads_match():
     seed = jnp.zeros((1,), jnp.int32)
 
     def loss_p(q, k, v):
-        return jnp.sum(_fused_attention(q, k, v, mask, seed, 0.0, True) ** 2)
+        return jnp.sum(_fused_attention(q, k, v, mask, seed, 0.0, True, False) ** 2)
 
     def loss_r(q, k, v):
         return jnp.sum(mha_reference(q, k, v, mask) ** 2)
