@@ -1,0 +1,113 @@
+"""Benchmark: full VSM pretraining train step on one TPU chip.
+
+Measures the headline hot path (SURVEY.md §3.1): VSM forward (cross-modal +
+temporal encoders + query encoder + in-batch ranking losses) + backward +
+AdamW, bf16, at the reference pretraining recipe's per-device batch of 32
+videos (``config/pretrain-tv-16gpu.json``).
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+``vs_baseline`` compares against an *analytic* V100 estimate (the reference
+publishes no numbers, BASELINE.md): model train FLOPs per example from the
+actual tensor shapes, assuming the reference's apex-fp16 stack sustains 30%
+of V100's 125 TFLOP/s peak.  The north-star target is ≥2× that per-chip
+rate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config.model_config import HeroConfig, TransformerConfig
+from hero_tpu.data import synthetic
+from hero_tpu.models import pretrain
+from hero_tpu.training.step import TrainSpec, TrainState, make_train_step
+
+
+def flagship_config() -> HeroConfig:
+    base = TransformerConfig(hidden_size=768, num_hidden_layers=6,
+                             num_attention_heads=12, intermediate_size=3072,
+                             max_position_embeddings=514,
+                             vocab_size=50272, type_vocab_size=2)
+    return HeroConfig(
+        f_config=base,
+        c_config=base.replace(num_hidden_layers=3),
+        q_config=base.replace(num_hidden_layers=0, type_vocab_size=1),
+        vfeat_dim=4352, max_frm_seq_len=100, max_clip_len=100)
+
+
+def transformer_flops(n_layers, seq, hidden, inter, batch):
+    """Forward matmul FLOPs for one encoder stack (2·m·n·k per matmul)."""
+    attn = 4 * seq * hidden * hidden + 2 * seq * seq * hidden
+    ffn = 2 * seq * hidden * inter
+    return n_layers * batch * 2 * (attn + ffn)
+
+
+def analytic_train_flops_per_example(shape: synthetic.BatchShape,
+                                     cfg: HeroConfig) -> float:
+    D = cfg.f_config.hidden_size
+    f_seq = shape.frames_per_sub + shape.txt_len
+    f = transformer_flops(6, f_seq, D, 3072, shape.n_subs)
+    f += shape.n_subs * 2 * f_seq * shape.vfeat_dim * D      # img proj
+    c = transformer_flops(3, shape.n_frames, D, 3072, 1)
+    c += 2 * shape.n_frames * shape.vfeat_dim * D            # frame_transform
+    q = transformer_flops(1, shape.query_len, D, 3072, shape.n_queries)
+    fwd = f + c + q
+    return 3.0 * fwd  # fwd + bwd ≈ 3× fwd matmul FLOPs
+
+
+def main():
+    cfg = flagship_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01)
+    shape = synthetic.BatchShape(batch=32, n_subs=8, txt_len=40,
+                                 frames_per_sub=16, n_frames=100,
+                                 n_queries=2, query_len=30)
+
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+
+    def loss_fn(p, batch, rng):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                       train=True, dtype=jnp.bfloat16)
+        return a + b + c, {}
+
+    spec = TrainSpec(learning_rate=3e-5, warmup_steps=10000,
+                     num_train_steps=100000, grad_norm=2.0)
+    step = make_train_step(loss_fn, spec, donate=True)
+    state = TrainState.create(params)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.vsm_batch(shape).items()}
+    rng = jax.random.PRNGKey(1)
+
+    # NOTE: through the tunneled runtime, block_until_ready is a no-op —
+    # only a device→host value fetch truly synchronizes.  Protocol: dispatch
+    # N pipelined steps (device executes them back-to-back via the state
+    # dependency chain), then fetch the final loss to force completion.
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    float(metrics["loss"])  # force warmup + compile
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i + 3))
+    float(metrics["loss"])  # forces the whole chain
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    ex_per_sec = steps_per_sec * shape.batch
+
+    flops_ex = analytic_train_flops_per_example(shape, cfg)
+    v100_ex_per_sec = 0.30 * 125e12 / flops_ex
+    print(json.dumps({
+        "metric": "pretrain_vsm_examples_per_sec_per_chip",
+        "value": round(ex_per_sec, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_per_sec / v100_ex_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

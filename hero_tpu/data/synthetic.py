@@ -1,0 +1,164 @@
+"""Synthetic fixed-shape batches for every task.
+
+Used by unit tests, ``bench.py`` and ``__graft_entry__.py``; shapes follow
+the canonical batch contract (``hero_tpu/models/model.py`` docstring) at
+either reference-recipe or tiny sizes.  Values are random but structurally
+valid (contiguous frame assignments per sub, in-range span targets, BERT
+80/10/10-style MLM masking, 15% FOM shuffling — mirroring the reference
+datasets' semantics in ``data/mlm.py``, ``data/mfm.py``, ``data/fom.py``,
+``data/vsm.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from hero_tpu.const import VFEAT_DIM
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchShape:
+    """Fixed bucket sizes for one compiled step."""
+    batch: int = 8            # videos
+    n_subs: int = 8           # subtitle rows per video
+    txt_len: int = 40         # BPE tokens per sub (incl. leading SEP)
+    frames_per_sub: int = 16  # frame slots per sub
+    n_frames: int = 100       # clip length (MAX_FRM_SEQ_LEN)
+    n_queries: int = 2        # queries per video (VSM)
+    query_len: int = 30
+    vfeat_dim: int = VFEAT_DIM
+    vocab_size: int = 50272
+    max_masked: int = 12      # MLM positions per sub
+
+
+TINY = BatchShape(batch=2, n_subs=3, txt_len=8, frames_per_sub=4,
+                  n_frames=16, n_queries=2, query_len=6, vfeat_dim=64,
+                  vocab_size=128, max_masked=3)
+
+# reference pretrain recipe: 32 videos/GPU (pretrain-tv-16gpu.json)
+PRETRAIN_RECIPE = BatchShape(batch=32)
+
+
+def base_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Backbone ('repr') batch with contiguous sub→frame assignment."""
+    r = np.random.RandomState(seed)
+    B, S, Lt = shape.batch, shape.n_subs, shape.txt_len
+    Fs, F = shape.frames_per_sub, shape.n_frames
+    sub_input_ids = r.randint(3, shape.vocab_size,
+                              (B, S, Lt)).astype(np.int32)
+    txt_lens = r.randint(Lt // 2, Lt + 1, (B, S))
+    sub_txt_mask = (np.arange(Lt)[None, None, :]
+                    < txt_lens[..., None]).astype(np.float32)
+    sub_input_ids[sub_txt_mask == 0] = 1  # pad idx
+
+    # each sub s covers frames [s*F//S, s*F//S + n) like prepro_sub's
+    # temporal-IoU assignment produces contiguous unique ranges
+    frames_per = max(1, F // S)
+    starts = (np.arange(S) * frames_per)[None, :, None]
+    offs = np.arange(Fs)[None, None, :]
+    sub_frame_idx = np.minimum(starts + offs, F - 1).astype(np.int32)
+    n_valid = r.randint(1, min(Fs, frames_per) + 1, (B, S))
+    sub_frame_mask = (np.arange(Fs)[None, None, :]
+                      < n_valid[..., None]).astype(np.float32)
+    sub_frame_idx = np.broadcast_to(sub_frame_idx, (B, S, Fs)).copy()
+
+    nf = r.randint(F // 2, F + 1, (B,))
+    c_attn_masks = (np.arange(F)[None, :] < nf[:, None]).astype(np.float32)
+    c_v_feats = r.randn(B, F, shape.vfeat_dim).astype(np.float32)
+    c_v_feats *= c_attn_masks[..., None]
+
+    return {
+        "sub_input_ids": sub_input_ids,
+        "sub_txt_mask": sub_txt_mask,
+        "sub_frame_idx": sub_frame_idx,
+        "sub_frame_mask": sub_frame_mask,
+        "sub_mask": np.ones((B, S), np.float32),
+        "c_v_feats": c_v_feats,
+        "c_attn_masks": c_attn_masks,
+    }
+
+
+def vsm_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
+    r = np.random.RandomState(seed + 1)
+    b = base_batch(shape, seed)
+    B, Q, Lq, F = (shape.batch, shape.n_queries, shape.query_len,
+                   shape.n_frames)
+    q_ids = r.randint(3, shape.vocab_size, (B, Q, Lq)).astype(np.int32)
+    q_lens = r.randint(Lq // 2, Lq + 1, (B, Q))
+    q_mask_tok = (np.arange(Lq)[None, None, :]
+                  < q_lens[..., None]).astype(np.float32)
+    q_ids[q_mask_tok == 0] = 1
+    st = r.randint(0, F // 2, (B, Q))
+    ed = st + r.randint(0, F // 2, (B, Q))
+    b.update({
+        "query_input_ids": q_ids,
+        "query_attn_masks": q_mask_tok,
+        "q_mask": np.ones((B, Q), np.float32),
+        "targets": np.stack([st, np.minimum(ed, F - 1)],
+                            -1).astype(np.int32),
+    })
+    return b
+
+
+def mlm_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
+    r = np.random.RandomState(seed + 2)
+    b = base_batch(shape, seed)
+    B, S, Lt, M = (shape.batch, shape.n_subs, shape.txt_len,
+                   shape.max_masked)
+    mask_pos = r.randint(0, Lt, (B, S, M)).astype(np.int32)
+    labels = np.where(r.rand(B, S, M) < 0.8,
+                      r.randint(3, shape.vocab_size, (B, S, M)),
+                      -1).astype(np.int32)
+    # apply BERT masking to the inputs at labeled positions (80% [MASK]=3)
+    for bi in range(B):
+        for si in range(S):
+            for mi in range(M):
+                if labels[bi, si, mi] >= 0:
+                    b["sub_input_ids"][bi, si, mask_pos[bi, si, mi]] = 3
+    b["mlm_mask_pos"] = mask_pos
+    b["mlm_labels"] = labels
+    return b
+
+
+def mfm_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
+    r = np.random.RandomState(seed + 3)
+    b = base_batch(shape, seed)
+    B, F = shape.batch, shape.n_frames
+    m = (r.rand(B, F) < 0.15).astype(np.float32) * b["c_attn_masks"]
+    # ensure at least one masked frame per batch
+    m[:, 0] = b["c_attn_masks"][:, 0]
+    b["c_v_masks"] = m
+    return b
+
+
+def fom_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
+    r = np.random.RandomState(seed + 4)
+    b = base_batch(shape, seed)
+    B, F = shape.batch, shape.n_frames
+    orders = np.tile(np.arange(F, dtype=np.int32), (B, 1))
+    targets = np.full((B, F), -1, np.int32)
+    for bi in range(B):
+        nf = int(b["c_attn_masks"][bi].sum())
+        sel = r.choice(nf, max(1, int(nf * 0.15)), replace=False)
+        perm = r.permutation(sel)
+        orders[bi, sel] = perm
+        targets[bi, perm] = sel.astype(np.int32)
+    b["shuffled_orders"] = orders
+    b["fom_targets"] = targets
+    return b
+
+
+def task_batch(task: str, shape: BatchShape,
+               seed: int = 0) -> Dict[str, np.ndarray]:
+    if task == "vsm":
+        return vsm_batch(shape, seed)
+    if task.startswith("mlm"):
+        return mlm_batch(shape, seed)
+    if task in ("mfm-nce", "mffr"):
+        return mfm_batch(shape, seed)
+    if task == "fom":
+        return fom_batch(shape, seed)
+    return base_batch(shape, seed)

@@ -44,6 +44,12 @@ def layer_norm_reference(x: jax.Array, weight: jax.Array, bias: jax.Array,
 _BLOCK_ROWS = 256
 
 
+def _block_rows(d: int) -> int:
+    """Row-block size bounded so ~6 live f32 (rows, d) buffers fit VMEM
+    (the wide 4352-dim img_LayerNorm would blow the 16MB budget at 256)."""
+    return max(8, min(_BLOCK_ROWS, (1 << 18) // d // 8 * 8))
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -91,7 +97,7 @@ def _fused_layer_norm(x2d, weight, bias, eps, interpret):
 
 def _run_fwd(x2d, weight, bias, eps, interpret):
     n, d = x2d.shape
-    rows = min(_BLOCK_ROWS, n)
+    rows = min(_block_rows(d), n)
     grid = (pl.cdiv(n, rows),)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, eps=float(eps)),
@@ -117,7 +123,7 @@ def _fused_ln_fwd(x2d, weight, bias, eps, interpret):
 def _fused_ln_bwd(eps, interpret, res, g):
     x2d, weight, bias = res
     n, d = x2d.shape
-    rows = min(_BLOCK_ROWS, n)
+    rows = min(_block_rows(d), n)
     grid = (pl.cdiv(n, rows),)
     dx, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=float(eps)),
@@ -164,7 +170,7 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
     # pad rows to a multiple of the row block so every grid step is full
     # (partial out-of-bounds blocks would feed undefined rows into the
     # parameter-gradient accumulation)
-    rows = min(_BLOCK_ROWS, _round_up(n, 8))
+    rows = min(_block_rows(d), _round_up(n, 8))
     n_pad = _round_up(n, rows) - n
     if n_pad:
         x2d = jnp.pad(x2d, ((0, n_pad), (0, 0)))

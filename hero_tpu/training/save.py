@@ -1,0 +1,156 @@
+"""Checkpointing: publishable params + train-state restore.
+
+Mirrors the reference's two mechanisms (``utils/save.py``):
+
+1. :class:`ModelSaver` — host-side param snapshots ``ckpt/model_step_N.npz``
+   (reference ``ModelSaver.save`` writes cpu state_dicts, :112-133).
+2. :class:`TrainingRestorer` — ``restore.npz`` + one backup, auto-resume
+   with an hps-unchanged assertion and the restored ``global_step``
+   (reference :136-181).
+
+Arrays are stored as a flat ``{"a/b/c": array}`` npz — dependency-light,
+fast, and trivially diffable against the torch→JAX converter output.
+``save_training_meta`` reproduces the provenance artifacts (hps.json,
+model_config.json, git info; reference :21-73).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from hero_tpu.utils.logger import LOGGER
+
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+        return out
+    out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_params(path: str, params) -> None:
+    host = jax.tree.map(np.asarray, params)
+    np.savez(path, **flatten_tree(host))
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        return unflatten_tree({k: z[k] for k in z.files})
+
+
+class ModelSaver:
+    def __init__(self, output_dir: str, prefix: str = "model_step",
+                 suffix: str = "npz"):
+        self.output_dir = output_dir
+        self.prefix = prefix
+        self.suffix = suffix
+        os.makedirs(output_dir, exist_ok=True)
+
+    def save(self, params, step: int) -> str:
+        path = os.path.join(self.output_dir,
+                            f"{self.prefix}_{step}.{self.suffix}")
+        save_params(path, params)
+        return path
+
+
+def save_training_meta(output_dir: str, hps: Dict[str, Any],
+                       model_config: Dict[str, Any]) -> None:
+    """hps.json + model_config.json + git provenance
+    (reference utils/save.py:21-73).  The eval drivers reload hps.json as
+    the serve config — keep the schema stable."""
+    os.makedirs(os.path.join(output_dir, "log"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
+    with open(os.path.join(output_dir, "log", "hps.json"), "w") as f:
+        json.dump(hps, f, indent=4)
+    with open(os.path.join(output_dir, "log", "model_config.json"),
+              "w") as f:
+        json.dump(model_config, f, indent=4)
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL,
+            cwd=os.path.dirname(os.path.abspath(__file__))).decode().strip()
+        with open(os.path.join(output_dir, "log", "git_info.json"),
+                  "w") as f:
+            json.dump({"git_sha": sha}, f)
+    except Exception:  # git unavailable — non-fatal provenance loss
+        pass
+
+
+class TrainingRestorer:
+    """Preemption-safe resume (reference utils/save.py:136-181)."""
+
+    def __init__(self, output_dir: str, hps: Dict[str, Any]):
+        self.save_path = os.path.join(output_dir, "restore.npz")
+        self.backup_path = os.path.join(output_dir, "restore_backup.npz")
+        self.hps_path = os.path.join(output_dir, "restore_hps.json")
+        os.makedirs(output_dir, exist_ok=True)
+        if os.path.exists(self.hps_path):
+            with open(self.hps_path) as f:
+                restore_hps = json.load(f)
+            assert restore_hps == hps, (
+                "hps changed between runs; refusing to resume")
+        else:
+            with open(self.hps_path, "w") as f:
+                json.dump(hps, f, indent=4)
+        self.global_step = 0
+
+    def can_restore(self) -> bool:
+        return (os.path.exists(self.save_path)
+                or os.path.exists(self.backup_path))
+
+    def step(self, train_state, save_steps: int) -> None:
+        step = int(train_state.global_step)
+        self.global_step = step
+        if step % save_steps == 0:
+            self.save(train_state)
+
+    def save(self, train_state) -> None:
+        if os.path.exists(self.save_path):
+            os.replace(self.save_path, self.backup_path)
+        flat = flatten_tree(jax.tree.map(np.asarray, {
+            "params": train_state.params,
+            "mu": train_state.opt.mu,
+            "nu": train_state.opt.nu,
+        }))
+        flat["__step__"] = np.asarray(int(train_state.global_step))
+        np.savez(self.save_path, **flat)
+
+    def restore(self, train_state):
+        """Load into a template TrainState; returns the restored state."""
+        from hero_tpu.training.optim import AdamWState
+        from hero_tpu.training.step import TrainState
+        path = (self.save_path if os.path.exists(self.save_path)
+                else self.backup_path)
+        with np.load(path) as z:
+            step = int(z["__step__"])
+            tree = unflatten_tree(
+                {k: z[k] for k in z.files if k != "__step__"})
+        LOGGER.info("restored training state at step %d from %s", step,
+                    path)
+        self.global_step = step
+        import jax.numpy as jnp
+        return TrainState(
+            params=tree["params"],
+            opt=AdamWState(step=jnp.asarray(step, jnp.int32),
+                           mu=tree["mu"], nu=tree["nu"]),
+            global_step=jnp.asarray(step, jnp.int32))

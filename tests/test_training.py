@@ -1,0 +1,167 @@
+"""Training infra tests: AdamW groups, schedule, step builder, restore."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hero_tpu.config.model_config import tiny_hero_config
+from hero_tpu.models import pretrain
+from hero_tpu.parallel.mesh import get_mesh, shard_batch
+from hero_tpu.training import optim as optim_lib
+from hero_tpu.training import save as save_lib
+from hero_tpu.training.optim import AdamWConfig
+from hero_tpu.training.step import (TrainSpec, TrainState, make_train_step,
+                                    make_sharded_train_step, shard_state)
+from tests.test_backbone import tiny_batch
+
+
+def test_masks():
+    params = {"v_encoder": {"dense": {"kernel": jnp.ones((2, 2)),
+                                      "bias": jnp.ones((2,))},
+                            "ln": {"scale": jnp.ones((2,)),
+                                   "bias": jnp.ones((2,))}},
+              "head": {"out_ln": {"scale": jnp.ones((2,))},
+                       "conv": {"kernel": jnp.ones((5,))}}}
+    dm = optim_lib.no_decay_mask(params)
+    assert dm["v_encoder"]["dense"]["kernel"] == 1.0
+    assert dm["v_encoder"]["dense"]["bias"] == 0.0
+    assert dm["v_encoder"]["ln"]["scale"] == 0.0
+    assert dm["head"]["out_ln"]["scale"] == 0.0
+    assert dm["head"]["conv"]["kernel"] == 1.0
+    tm = optim_lib.top_lr_mask(params)
+    assert tm["v_encoder"]["dense"]["kernel"] == 0.0
+    assert tm["head"]["conv"]["kernel"] == 1.0
+
+
+def test_warmup_linear_schedule():
+    lr = optim_lib.get_lr(0, 1e-4, 100, 1000)
+    assert float(lr) == pytest.approx(1e-8)
+    assert float(optim_lib.get_lr(50, 1e-4, 100, 1000)) == pytest.approx(
+        5e-5)
+    assert float(optim_lib.get_lr(100, 1e-4, 100, 1000)) == pytest.approx(
+        1e-4)
+    assert float(optim_lib.get_lr(550, 1e-4, 100, 1000)) == pytest.approx(
+        5e-5)
+    assert float(optim_lib.get_lr(1000, 1e-4, 100, 1000)) == pytest.approx(
+        1e-8)
+
+
+def test_adamw_matches_torch():
+    import torch
+    torch.manual_seed(0)
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    g = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+    # torch reference implementation (HF AdamW, decoupled wd, bias corr)
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    m = torch.zeros_like(p)
+    v = torch.zeros_like(p)
+    lr, b1, b2, eps, wd = 1e-3, 0.9, 0.98, 1e-6, 0.01
+    pt = p.data.clone()
+    for step in range(1, 4):
+        gt = torch.tensor(g)
+        m = b1 * m + (1 - b1) * gt
+        v = b2 * v + (1 - b2) * gt * gt
+        denom = v.sqrt() + eps
+        sf = lr * ((1 - b2 ** step) ** 0.5) / (1 - b1 ** step)
+        pt = pt - sf * m / denom - lr * wd * pt
+
+    params = {"head": {"dense": {"kernel": jnp.asarray(w0)}}}
+    grads = {"head": {"dense": {"kernel": jnp.asarray(g)}}}
+    state = optim_lib.adamw_init(params)
+    cfg = AdamWConfig(beta1=b1, beta2=b2, eps=eps, weight_decay=wd)
+    for _ in range(3):
+        params, state = optim_lib.adamw_update(grads, state, params, lr,
+                                               cfg)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["dense"]["kernel"]), pt.numpy(),
+        rtol=1e-5, atol=1e-6)
+
+
+def _vsm_loss_fn(cfg, vsm):
+    def loss_fn(params, batch, rng):
+        a, b, c = pretrain.forward_vsm(params, cfg, vsm, batch, rng=rng,
+                                       train=True)
+        loss = a + b + c
+        return loss, {"loss_st_ed": a, "loss_neg_ctx": b, "loss_neg_q": c}
+    return loss_fn
+
+
+def test_train_step_decreases_loss():
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(params)
+    spec = TrainSpec(learning_rate=5e-3, warmup_steps=1,
+                     num_train_steps=1000, grad_norm=2.0)
+    step = make_train_step(_vsm_loss_fn(cfg, vsm), spec, donate=False)
+    batch = tiny_batch(cfg)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.global_step) == 8
+
+
+def test_accum_steps_equivalent_batch():
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.0)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(1), cfg)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+    batch = tiny_batch(cfg)
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
+    step = make_train_step(_vsm_loss_fn(cfg, vsm), spec, accum_steps=2,
+                           donate=False)
+    state = TrainState.create(params)
+    state, metrics = step(state, stacked, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_train_step():
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(2), cfg)
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.flat)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+    step = make_sharded_train_step(_vsm_loss_fn(cfg, vsm), spec, mesh)
+    state = shard_state(TrainState.create(params), mesh)
+    batch = tiny_batch(cfg, B=n_dev)
+    batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    state, metrics = step(state, batch, jax.device_put(
+        jax.random.PRNGKey(0), jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_restore_roundtrip(tmp_path):
+    cfg = tiny_hero_config()
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(3), cfg)
+    state = TrainState.create(params)
+    state = TrainState(params=state.params, opt=state.opt,
+                       global_step=jnp.asarray(7, jnp.int32))
+    restorer = save_lib.TrainingRestorer(str(tmp_path), {"lr": 1e-4})
+    restorer.save(state)
+    assert restorer.can_restore()
+    restored = restorer.restore(state)
+    assert int(restored.global_step) == 7
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # hps mismatch must refuse
+    with pytest.raises(AssertionError):
+        save_lib.TrainingRestorer(str(tmp_path), {"lr": 5e-4})
+
+
+def test_model_saver_roundtrip(tmp_path):
+    params = {"a": {"b": jnp.ones((3, 2)), "c": jnp.zeros((4,))}}
+    saver = save_lib.ModelSaver(str(tmp_path))
+    path = saver.save(params, 10)
+    loaded = save_lib.load_params(path)
+    np.testing.assert_array_equal(loaded["a"]["b"],
+                                  np.asarray(params["a"]["b"]))
