@@ -1,0 +1,260 @@
+"""Full-corpus VCMR / SVMR / VR evaluation — the serve path.
+
+Re-design of reference ``eval_vcmr.py:143-515`` (and ``eval_vr.py``):
+
+- **Phase 1** embeds every video through the backbone into a corpus tensor
+  ``(Nv, max_clip_len, D)`` (kept on device, bf16-capable).
+- **Phase 2** scores query batches against the whole corpus: softmax span
+  probabilities, ``exp(q2c_alpha·score)`` sharpening, per-query top
+  ``max_vcmr_video`` videos, the outer-product span-score cube with the
+  min/max-length band mask, and the flat top-``max_before_nms`` sort — all
+  fused in ONE jit per query batch (the reference interleaves GPU ops with
+  host numpy; here only the final top-k indices/scores cross to host).
+- Host side decodes ``unravel_index`` → (video, st, ed) seconds, builds the
+  reference-schema submission JSON, applies optional temporal NMS, and
+  aggregates metrics with per-rank example weighting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config.model_config import HeroConfig
+from hero_tpu.const import VCMR_IOU_THDS
+from hero_tpu.evaluation import tvr_metrics
+from hero_tpu.models import pretrain as pretrain_lib
+from hero_tpu.models import vcmr as vcmr_lib
+from hero_tpu.models.pretrain import VsmConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class VcmrEvalOpts:
+    """Inference options (reference train-tvr-8gpu.json / eval_vcmr flags)."""
+    q2c_alpha: float = 20.0
+    max_vcmr_video: int = 100
+    min_pred_l: int = 2
+    max_pred_l: int = 16
+    max_before_nms: int = 200
+    max_after_nms: int = 100
+    nms_thd: float = -1.0
+    vfeat_interval: float = 1.5
+    max_clip_len: int = 100
+    full_eval_tasks: Tuple[str, ...] = ("VCMR", "SVMR", "VR")
+    eval_with_query_type: bool = True
+
+
+def embed_video_corpus(params, cfg: HeroConfig,
+                       video_batches: Iterable[Dict[str, np.ndarray]],
+                       max_clip_len: int, dtype=jnp.bfloat16
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Phase 1: (Nv, max_clip_len, D) frame embeddings + masks."""
+    encode = jax.jit(lambda b: (
+        vcmr_lib.encode_video_corpus(params, cfg, b, dtype=dtype),
+        b["c_attn_masks"]))
+    embs, masks = [], []
+    for batch in video_batches:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        e, m = encode(jb)
+        embs.append(e)
+        masks.append(m)
+    return jnp.concatenate(embs, 0), jnp.concatenate(masks, 0)
+
+
+def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
+                      opts: VcmrEvalOpts, frame_embs: jax.Array,
+                      frame_masks: jax.Array, dtype=jnp.bfloat16):
+    """Phase-2 device function (jit once per query-batch shape)."""
+    n_videos = frame_embs.shape[0]
+    max_v = min(opts.max_vcmr_video, n_videos)
+    L = frame_embs.shape[1]
+    band = jnp.asarray(tvr_metrics.generate_min_max_length_mask(
+        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l))
+
+    @jax.jit
+    def score(q_ids, q_masks):
+        scores, st, ed = vcmr_lib.get_pred_from_raw_query(
+            params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
+            cross=True, dtype=dtype)
+        st_p = jax.nn.softmax(st.astype(jnp.float32), -1)   # (Nq, Nv, L)
+        ed_p = jax.nn.softmax(ed.astype(jnp.float32), -1)
+        sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
+        top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
+        st_sel = jnp.take_along_axis(st_p, top_idx[..., None], axis=1)
+        ed_sel = jnp.take_along_axis(ed_p, top_idx[..., None], axis=1)
+        cube = jnp.einsum("qvm,qv,qvn->qvmn", st_sel, top_scores, ed_sel)
+        cube = cube * band            # band is (1, 1, L, L)
+        flat = cube.reshape(cube.shape[0], -1)
+        k = min(opts.max_before_nms, flat.shape[1])
+        flat_scores, flat_idx = jax.lax.top_k(flat, k)
+        return (scores.astype(jnp.float32), st_p, ed_p, top_scores,
+                top_idx, flat_scores, flat_idx)
+
+    return score, max_v
+
+
+def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
+                       opts: VcmrEvalOpts,
+                       video_batches: Iterable[Dict[str, np.ndarray]],
+                       query_batches: Iterable[Dict[str, Any]],
+                       video_ids: List[str],
+                       video2idx_global: Dict[str, int],
+                       query_data: Dict[Any, dict],
+                       dtype=jnp.bfloat16):
+    """Run the full two-phase evaluation.
+
+    ``query_batches`` yield dicts with numpy ``query_input_ids`` (N, Lq),
+    ``query_attn_masks``, plus host lists ``qids`` and ``vids`` (GT video
+    per query, "" if unknown).  Returns (val_log, submission, metrics).
+    """
+    frame_embs, frame_masks = embed_video_corpus(
+        params, cfg, video_batches, opts.max_clip_len, dtype)
+    scorer, max_v = make_query_scorer(params, cfg, vsm, opts, frame_embs,
+                                      frame_masks, dtype)
+    video2idx_local = {v: i for i, v in enumerate(video_ids)}
+    L = int(frame_embs.shape[1])
+
+    total_qids, total_vids = [], []
+    svmr_st, svmr_ed = [], []
+    top_scores_all, top_idx_all = [], []
+    flat_scores_all, flat_idx_all = [], []
+    has_gt_target = True
+    n_ex = 0
+    partial_query_data = []
+    for batch in query_batches:
+        qids, vids = batch["qids"], batch["vids"]
+        total_qids.extend(qids)
+        total_vids.extend(vids)
+        for qid in qids:
+            if qid in query_data:
+                partial_query_data.append(query_data[qid])
+        n_ex += len(qids)
+        if any(v == "" or v is None for v in vids):
+            has_gt_target = False
+        out = scorer(jnp.asarray(batch["query_input_ids"]),
+                     jnp.asarray(batch["query_attn_masks"]))
+        scores, st_p, ed_p, tsc, tidx, fsc, fidx = map(np.asarray, out)
+        if "SVMR" in opts.full_eval_tasks and has_gt_target:
+            gt_vidx = np.asarray([video2idx_local[v] for v in vids])
+            svmr_st.append(st_p[np.arange(len(qids)), gt_vidx])
+            svmr_ed.append(ed_p[np.arange(len(qids)), gt_vidx])
+        top_scores_all.append(tsc)
+        top_idx_all.append(tidx)
+        flat_scores_all.append(fsc)
+        flat_idx_all.append(fidx)
+
+    sorted_q2c_scores = np.concatenate(top_scores_all, 0)
+    sorted_q2c_indices = np.concatenate(top_idx_all, 0)
+    flat_scores = np.concatenate(flat_scores_all, 0)
+    flat_indices = np.concatenate(flat_idx_all, 0)
+
+    svmr_res, vr_res, vcmr_res = [], [], []
+    if "SVMR" in opts.full_eval_tasks and has_gt_target and svmr_st:
+        st_total = np.concatenate(svmr_st, 0)
+        ed_total = np.concatenate(svmr_ed, 0)
+        prod = np.einsum("bm,bn->bmn", st_total, ed_total)
+        prod *= tvr_metrics.generate_min_max_length_mask(
+            prod.shape, opts.min_pred_l, opts.max_pred_l)
+        triples = tvr_metrics.find_max_triples_from_upper_triangle_product(
+            prod, top_n=opts.max_before_nms)
+        for i, (qid, vid) in enumerate(zip(total_qids, total_vids)):
+            t = triples[i]
+            t[:, 1] += 1                       # ed index is inclusive
+            t[:, :2] *= opts.vfeat_interval
+            svmr_res.append(dict(
+                desc_id=int(qid), desc="",
+                predictions=[[video2idx_global[vid]] + row
+                             for row in t.tolist()]))
+
+    if "VR" in opts.full_eval_tasks:
+        for i in range(len(total_qids)):
+            preds = []
+            for sc, vi in zip(sorted_q2c_scores[i, :100],
+                              sorted_q2c_indices[i, :100]):
+                preds.append([video2idx_global[video_ids[int(vi)]], 0, 0,
+                              float(sc)])
+            vr_res.append(dict(desc_id=int(total_qids[i]), desc="",
+                               predictions=preds))
+
+    if "VCMR" in opts.full_eval_tasks:
+        for i in range(len(total_qids)):
+            v_loc, st_i, ed_i = np.unravel_index(
+                flat_indices[i], shape=(max_v, L, L))
+            v_meta = sorted_q2c_indices[i, v_loc]
+            st_sec = st_i.astype(np.float32) * opts.vfeat_interval
+            ed_sec = (ed_i.astype(np.float32) * opts.vfeat_interval
+                      + opts.vfeat_interval)
+            preds = []
+            for j, (vm, sc) in enumerate(zip(v_meta, flat_scores[i])):
+                preds.append([video2idx_global[video_ids[int(vm)]],
+                              float(st_sec[j]), float(ed_sec[j]),
+                              float(sc)])
+            vcmr_res.append(dict(desc_id=int(total_qids[i]), desc="",
+                                 predictions=preds))
+
+    eval_res = dict(SVMR=svmr_res, VCMR=vcmr_res, VR=vr_res)
+    eval_res = {k: v for k, v in eval_res.items() if len(v) != 0}
+    eval_res["video2idx"] = video2idx_global
+    submission = tvr_metrics.get_submission_top_n(
+        eval_res, top_n=opts.max_after_nms)
+
+    val_log: Dict[str, float] = {}
+    metrics = None
+    if has_gt_target and partial_query_data:
+        metrics = tvr_metrics.eval_retrieval(
+            submission, partial_query_data, iou_thds=VCMR_IOU_THDS,
+            match_number=True, verbose=False,
+            use_desc_type=opts.eval_with_query_type)
+        metrics = aggregate_distributed_metrics(metrics, n_ex)
+        for task_type, task_metric in metrics.items():
+            for k, v in task_metric.items():
+                if k == "desc_type_ratio":
+                    continue
+                val_log[f"valid_{task_type}/{task_type}_{k}"] = v
+        if opts.nms_thd != -1:
+            after = dict(video2idx=eval_res["video2idx"])
+            if "SVMR" in eval_res:
+                after["SVMR"] = tvr_metrics.post_processing_svmr_nms(
+                    eval_res["SVMR"], nms_thd=opts.nms_thd,
+                    max_before_nms=opts.max_before_nms,
+                    max_after_nms=opts.max_after_nms)
+            if "VCMR" in eval_res:
+                after["VCMR"] = tvr_metrics.post_processing_vcmr_nms(
+                    eval_res["VCMR"], nms_thd=opts.nms_thd,
+                    max_before_nms=opts.max_before_nms,
+                    max_after_nms=opts.max_after_nms)
+            metrics_nms = tvr_metrics.eval_retrieval(
+                after, partial_query_data, iou_thds=VCMR_IOU_THDS,
+                match_number=True, verbose=False,
+                use_desc_type=opts.eval_with_query_type)
+            metrics_nms = aggregate_distributed_metrics(metrics_nms, n_ex)
+            for task_type, task_metric in metrics_nms.items():
+                for k, v in task_metric.items():
+                    if k == "desc_type_ratio":
+                        continue
+                    val_log[f"valid_{task_type}_nms_{opts.nms_thd}/"
+                            f"{task_type}_{k}"] = v
+    return val_log, submission, metrics
+
+
+def aggregate_distributed_metrics(metrics, n_ex: int):
+    """Example-count-weighted metric averaging across host processes
+    (reference eval_vcmr.py:430-448); identity for single process."""
+    from hero_tpu.parallel.mesh import host_allgather
+    n_per_rank = host_allgather(n_ex)
+    m_per_rank = host_allgather(metrics)
+    total = sum(n_per_rank)
+    out: Dict[str, Dict[str, float]] = {}
+    for task_type, task_metric in metrics.items():
+        out[task_type] = {}
+        for k in task_metric:
+            if k == "desc_type_ratio":
+                continue
+            val = sum(n * m_per_rank[i][task_type][k]
+                      for i, n in enumerate(n_per_rank)) / max(total, 1)
+            out[task_type][k] = val
+    return out

@@ -1,0 +1,118 @@
+"""End-to-end full-corpus VCMR eval on synthetic data (tiny model, CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hero_tpu.config.model_config import tiny_hero_config
+from hero_tpu.data import synthetic
+from hero_tpu.evaluation import tvr_metrics
+from hero_tpu.evaluation.vcmr_eval import (VcmrEvalOpts,
+                                           validate_full_vcmr)
+from hero_tpu.models import pretrain
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_hero_config()
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    return cfg, params, vsm
+
+
+def _video_batches(shape, n_batches=2):
+    for i in range(n_batches):
+        yield synthetic.base_batch(shape, seed=10 + i)
+
+
+def test_full_vcmr_eval_pipeline(setup, tmp_path):
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    n_videos = 6
+    video_ids = [f"vid{i}" for i in range(n_videos)]
+    video2idx = {v: 100 + i for i, v in enumerate(video_ids)}
+
+    n_q = 5
+    r = np.random.RandomState(0)
+    gt_vids = [video_ids[r.randint(n_videos)] for _ in range(n_q)]
+    ts = []
+    interval = 1.5
+    for q in range(n_q):
+        st = r.randint(0, shape.n_frames // 2)
+        ts.append([st * interval, (st + r.randint(2, 6)) * interval])
+    query_data = {q: {"desc_id": q, "desc": "", "vid_name": gt_vids[q],
+                      "ts": ts[q], "type": "vt"} for q in range(n_q)}
+    query_batches = [{
+        "qids": list(range(n_q)),
+        "vids": gt_vids,
+        "query_input_ids": r.randint(3, 128, (n_q, 6)).astype(np.int32),
+        "query_attn_masks": np.ones((n_q, 6), np.float32),
+    }]
+
+    opts = VcmrEvalOpts(max_vcmr_video=6, min_pred_l=2, max_pred_l=8,
+                        max_before_nms=50, max_after_nms=20, nms_thd=0.5,
+                        vfeat_interval=interval,
+                        max_clip_len=shape.n_frames)
+    val_log, submission, metrics = validate_full_vcmr(
+        params, cfg, vsm, opts, _video_batches(shape), query_batches,
+        video_ids, video2idx, query_data, dtype=jnp.float32)
+
+    # schema
+    assert set(submission) == {"video2idx", "SVMR", "VCMR", "VR"}
+    for task in ("SVMR", "VCMR", "VR"):
+        assert len(submission[task]) == n_q
+        for e in submission[task]:
+            assert set(e) == {"desc_id", "desc", "predictions"}
+            assert len(e["predictions"]) <= opts.max_after_nms
+            for p in e["predictions"]:
+                assert len(p) == 4
+    # every VR list covers distinct videos, top-`n_videos`
+    vr0 = submission["VR"][0]["predictions"]
+    assert len({p[0] for p in vr0}) == len(vr0) == n_videos
+
+    # an untrained model must still produce valid (finite, sorted) scores
+    scores = [p[3] for p in submission["VCMR"][0]["predictions"]]
+    assert all(np.isfinite(scores))
+    assert scores == sorted(scores, reverse=True)
+
+    # metrics exist for all tasks incl. nms'd variants in val_log
+    assert metrics is not None and "VCMR" in metrics and "VR" in metrics
+    assert any("nms" in k for k in val_log)
+    # R@100 ≥ R@1 monotonicity
+    m = metrics["VCMR"]
+    assert m["0.5-r100"] >= m["0.5-r1"]
+
+    # submission is valid for the reference-protocol standalone evaluator
+    ours = tvr_metrics.eval_retrieval(
+        submission, list(query_data.values()), match_number=True)
+    assert ours["VR"]["r100"] == 100.0  # 6 videos, all retrieved in top-100
+
+
+def test_span_decode_seconds(setup):
+    """VCMR st/ed decode: st = idx*interval, ed = (idx+1)*interval."""
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=2)
+    video_ids = ["a", "b"]
+    video2idx = {"a": 0, "b": 1}
+    r = np.random.RandomState(1)
+    qb = [{"qids": [0], "vids": ["a"],
+           "query_input_ids": r.randint(3, 128, (1, 6)).astype(np.int32),
+           "query_attn_masks": np.ones((1, 6), np.float32)}]
+    qd = {0: {"desc_id": 0, "desc": "", "vid_name": "a",
+              "ts": [0.0, 3.0], "type": "v"}}
+    opts = VcmrEvalOpts(max_vcmr_video=2, min_pred_l=1, max_pred_l=8,
+                        max_before_nms=10, max_after_nms=5, nms_thd=-1,
+                        vfeat_interval=2.0, max_clip_len=shape.n_frames)
+    _, submission, _ = validate_full_vcmr(
+        params, cfg, vsm, opts,
+        [synthetic.base_batch(shape, seed=5)], qb, video_ids, video2idx,
+        qd, dtype=jnp.float32)
+    for p in submission["VCMR"][0]["predictions"]:
+        st, ed = p[1], p[2]
+        assert st % 2.0 == 0.0
+        assert ed % 2.0 == 0.0 and ed > st
+        # length band respected: 1 <= (ed-st)/interval - ... span geq 1 frame
+        assert (ed - st) / 2.0 >= 1
