@@ -289,10 +289,16 @@ def convert_state_dict(state_dict: Dict[str, Any],
         consumed_prefixes += ["position_embeddings.", "emb_LayerNorm.",
                               "decoder."]
 
+    def _is_buffer(k: str) -> bool:
+        # torch buffers that are not parameters (reference registers a
+        # 'pad' scratch, the decoder 'tri_mask', LabelSmoothing 'one_hot')
+        return (k.endswith(".pad") or k == "pad"
+                or k.endswith("tri_mask") or k.endswith("one_hot"))
+
     unexpected = [k for k in sd
                   if not any(k.startswith(p) for p in consumed_prefixes)
                   and not k.endswith("lm_head.decoder.weight")
-                  and ".pad" not in k]
+                  and not _is_buffer(k)]
     if unexpected:
         tree["__unexpected__"] = unexpected
     return tree

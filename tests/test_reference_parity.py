@@ -169,7 +169,7 @@ def _ref_batch(num_subs, sub_frames, txt, c_v_feats, c_attn_masks):
 
 
 def _our_batch(num_subs, sub_frames, txt, c_v_feats, c_attn_masks):
-    B, S = 2, max(num_subs)
+    B, S = len(num_subs), max(num_subs)
     Lt = max(len(i) for v in txt for i in v)
     Fs = max(len(f) for v in sub_frames for f in v)
     batch = {
