@@ -1,0 +1,124 @@
+"""Task scheduling + host→device prefetch.
+
+- :class:`MetaLoader` — the reference's weighted multi-task scheduler
+  (``data/loader.py:19-59``) with its cross-rank broadcast replaced by a
+  common seeded RNG: every host draws the same task sequence with zero
+  collectives (SURVEY.md §5.8).
+- :class:`PrefetchLoader` — the reference overlaps H2D copies on a CUDA
+  side stream (``data/loader.py:62-144``); here a background thread builds
+  the next fixed-shape numpy batch and ``jax.device_put``s it (async on
+  TPU), so input assembly and transfer hide behind the running step.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class BatchSampler:
+    """Infinite shuffled index batches over a dataset, rank-sharded."""
+
+    def __init__(self, n_items: int, batch_size: int, seed: int = 0,
+                 rank: int = 0, world_size: int = 1,
+                 drop_last: bool = True):
+        self.n = n_items
+        self.bs = batch_size
+        self.seed = seed
+        self.rank = rank
+        self.world = world_size
+
+    def epoch_batches(self, epoch: int) -> List[List[int]]:
+        rng = random.Random(self.seed * 1_000_003 + epoch)
+        idx = list(range(self.n))
+        rng.shuffle(idx)
+        idx = idx[self.rank::self.world]
+        return [idx[i:i + self.bs] for i in range(0, len(idx) - self.bs + 1,
+                                                  self.bs)]
+
+    def __iter__(self) -> Iterator[Tuple[int, List[int]]]:
+        epoch = 0
+        while True:
+            for b in self.epoch_batches(epoch):
+                yield epoch, b
+            epoch += 1
+
+
+class MetaLoader:
+    """Weighted random task choice per step, identical on every host.
+
+    ``loaders``: {task_name: (iterator, ratio)} — matching the reference's
+    repeat-by-ratio name list (``data/loader.py:29-41``).
+    """
+
+    def __init__(self, loaders: Dict[str, Tuple[Iterator, int]],
+                 accum_steps: int = 1, seed: int = 0):
+        assert loaders
+        self.name2iter = {}
+        self.sampling_pools: List[str] = []
+        for name, (it, ratio) in loaders.items():
+            self.name2iter[name] = it
+            self.sampling_pools.extend([name] * ratio)
+        self.accum_steps = accum_steps
+        self.rng = random.Random(seed)
+        self.step = 0
+
+    def __iter__(self):
+        task = self.sampling_pools[0]
+        while True:
+            if self.step % self.accum_steps == 0:
+                task = self.rng.choice(self.sampling_pools)
+            self.step += 1
+            batch = next(self.name2iter[task])
+            yield task, batch
+
+
+class PrefetchLoader:
+    """Wrap an iterator of (tag, numpy-batch) with background assembly and
+    device placement."""
+
+    def __init__(self, it: Iterator, device_put: Optional[Callable] = None,
+                 depth: int = 2):
+        self.it = it
+        self.depth = depth
+        if device_put is None:
+            import jax
+            def device_put(batch):
+                return {k: (jax.device_put(v)
+                            if isinstance(v, np.ndarray) else v)
+                        for k, v in batch.items()}
+        self.device_put = device_put
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def worker():
+            try:
+                for tag, batch in self.it:
+                    q.put((tag, self.device_put(batch)))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+
+def dataset_iterator(dataset, batch_builder: Callable, batch_size: int,
+                     seed: int = 0, rank: int = 0, world_size: int = 1):
+    """Infinite (epoch-aware) batch iterator over a task dataset."""
+    sampler = BatchSampler(len(dataset), batch_size, seed=seed, rank=rank,
+                           world_size=world_size)
+    for epoch, indices in sampler:
+        if hasattr(dataset, "set_epoch"):
+            dataset.set_epoch(epoch)
+        yield batch_builder(dataset, indices)

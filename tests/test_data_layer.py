@@ -1,0 +1,193 @@
+"""Data layer end-to-end: synthetic corpus → stores → datasets → model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hero_tpu.config.model_config import tiny_hero_config
+from hero_tpu.data import downstream_tasks as dt
+from hero_tpu.data import pretrain_tasks as pt
+from hero_tpu.data.loader import MetaLoader, PrefetchLoader, dataset_iterator
+from hero_tpu.data.store import (QueryTokStore, SubTokStore, VideoFeatStore)
+from hero_tpu.data.testing import build_synthetic_corpus
+from hero_tpu.data.video import FixedShapes, VideoFeatSubTokDataset
+from hero_tpu.models import pretrain, tvc, videoqa, violin
+
+MAX_FRAMES = 16
+SHAPES = FixedShapes(n_subs=4, txt_len=24, frames_per_sub=12,
+                     n_frames=MAX_FRAMES, n_queries=2, query_len=16,
+                     max_masked=4, vfeat_dim=64)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    return build_synthetic_corpus(root, n_videos=6, max_frames=MAX_FRAMES,
+                                  vfeat_dim=64)
+
+
+@pytest.fixture(scope="module")
+def video_db(corpus):
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    return VideoFeatSubTokDataset(sub, vfeat, SHAPES, max_txt_len=20,
+                                  sub_ctx_len=1)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_hero_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+
+
+def test_video_item_structure(video_db):
+    item = video_db.video_item("vid0")
+    assert item["sub_input_ids"].shape == (4, 24)
+    assert item["c_v_feats"].shape == (MAX_FRAMES, 64)
+    n_subs = int(item["sub_mask"].sum())
+    assert 2 <= n_subs <= 4
+    # every valid sub starts with [SEP]=2
+    for row in range(n_subs):
+        assert item["sub_input_ids"][row, 0] == 2
+    # frame indices of valid slots are within the clip
+    nf = int(item["c_attn_masks"].sum())
+    valid_idx = item["sub_frame_idx"][item["sub_frame_mask"] > 0]
+    assert valid_idx.max() < nf
+
+
+def test_pretrain_tasks_through_model(video_db, cfg, params):
+    vids = list(video_db.txt_db.id2len.keys())
+    vsm_cfg = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0,
+                                 lw_st_ed=0.01)
+    datasets = {
+        "vsm": pt.VsmDataset(vids, video_db, query_per_video=2),
+        "mlm": pt.MlmDataset(vids, video_db),
+        "mfm-nce": pt.MfmDataset(vids, video_db),
+        "fom": pt.FomDataset(vids, video_db),
+    }
+    for task, ds in datasets.items():
+        batch = pt.build_batch(ds, [0, 1, 2])
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = pretrain.forward_pretrain(params, cfg, vsm_cfg, jb, task)
+        if task == "vsm":
+            assert all(np.isfinite(float(x)) for x in out)
+        else:
+            s, n = out
+            assert np.isfinite(float(s)) and float(n) > 0, task
+
+
+def test_mlm_masks_deterministic_and_valid(video_db):
+    vids = list(video_db.txt_db.id2len.keys())
+    ds = pt.MlmDataset(vids, video_db)
+    a, b = ds[0], ds[0]
+    np.testing.assert_array_equal(a["sub_input_ids"], b["sub_input_ids"])
+    np.testing.assert_array_equal(a["mlm_labels"], b["mlm_labels"])
+    ds.set_epoch(1)
+    c = ds[0]
+    assert not np.array_equal(a["mlm_labels"], c["mlm_labels"])
+    # at least one masked label per valid sub
+    n_subs = int(a["sub_mask"].sum())
+    for row in range(n_subs):
+        assert (a["mlm_labels"][row] >= 0).any()
+
+
+def test_vcmr_vr_datasets(video_db, corpus, cfg, params):
+    qdb = QueryTokStore(corpus["query"])
+    ds = dt.VcmrDataset(corpus["vids"], video_db, qdb, sampled_by_q=True)
+    assert len(ds) == 18
+    batch = dt.build_batch(ds, [0, 1, 2, 3])
+    assert batch["query_input_ids"].shape == (4, 1, SHAPES.query_len)
+    assert (batch["targets"] >= 0).all()
+    # st <= ed < nframes
+    assert (batch["targets"][..., 0] <= batch["targets"][..., 1]).all()
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("__")}
+    vsm_cfg = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0,
+                                 lw_st_ed=0.01)
+    from hero_tpu.models import vcmr as vcmr_lib
+    losses = vcmr_lib.forward_vcmr(params, cfg, vsm_cfg, jb)
+    assert all(np.isfinite(float(x)) for x in losses)
+
+    vr = dt.VrDataset(corpus["vids"], video_db, qdb, sampled_by_q=True)
+    vb = dt.build_batch(vr, [0, 1])
+    assert (vb["targets"] == -1).all()
+
+
+def test_videoqa_dataset(video_db, corpus, cfg):
+    qdb = QueryTokStore(corpus["qa_query"])
+    qids = list(qdb.id2len.keys())
+    ds = dt.VideoQaDataset(qids, video_db, qdb, qa_len=16)
+    batch = dt.build_batch(ds, [0, 1], flatten_rows=True)
+    A = 3
+    assert batch["qa_input_ids"].shape == (2 * A, 16)
+    assert batch["sub_input_ids"].shape[0] == 2 * A
+    # appended qa tokens present in sub rows
+    item = ds[0]
+    base = video_db.video_item(qdb.query2video[qids[0]])
+    assert (item["sub_txt_mask"][0].sum(-1)
+            >= base["sub_txt_mask"].sum(-1)).all()
+    p = videoqa.init_hero_for_videoqa(jax.random.PRNGKey(1), cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("__")}
+    qa_loss, t_loss = videoqa.forward_videoqa(p, cfg, jb, num_answers=A)
+    assert np.isfinite(float(qa_loss)) and np.isfinite(float(t_loss))
+
+
+def test_violin_dataset(video_db, corpus, cfg):
+    qdb = QueryTokStore(corpus["violin_query"])
+    qids = [q for q in qdb.id2len if q.endswith("_0")]
+    ds = dt.ViolinDataset(qids, video_db, qdb, stmt_len=16)
+    batch = dt.build_batch(ds, [0, 1], flatten_rows=True)
+    assert batch["q_input_ids"].shape == (4, 16)
+    assert set(np.asarray(batch["targets"]).reshape(-1)) == {0, 1}
+    p = violin.init_hero_for_violin(jax.random.PRNGKey(2), cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("__")}
+    jb["targets"] = jnp.asarray(np.asarray(batch["targets"]).reshape(-1))
+    loss = violin.forward_violin(p, cfg, jb)
+    assert np.isfinite(float(loss))
+
+
+def test_tvc_dataset(video_db, corpus, cfg):
+    cdb = dt.TvcCaptionStore(corpus["cap"], max_txt_len=12)
+    ds = dt.TvcTrainDataset(video_db, cdb, caps_per_video=2, cap_len=12,
+                            seg_len=MAX_FRAMES)
+    batch = dt.build_tvc_batch(ds, [0, 1, 2])
+    assert batch["cap_input_ids"].shape == (6, 12)
+    assert batch["cap_vidx"].tolist() == [0, 0, 1, 1, 2, 2]
+    # BOS-shifted: input starts with BOS=0; tgt ends with EOS=2 (or -1 pad)
+    assert (batch["cap_input_ids"][:, 0] == 0).all()
+    p = tvc.init_hero_for_tvc(jax.random.PRNGKey(3), cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("__")}
+    s, n = tvc.forward_tvc(p, cfg, jb, lsr=0.1)
+    assert np.isfinite(float(s)) and float(n) > 0
+
+
+def test_meta_loader_and_prefetch(video_db):
+    vids = list(video_db.txt_db.id2len.keys())
+    mlm = pt.MlmDataset(vids, video_db)
+    fom = pt.FomDataset(vids, video_db)
+    it = MetaLoader({
+        "mlm": (dataset_iterator(mlm, pt.build_batch, 2), 2),
+        "fom": (dataset_iterator(fom, pt.build_batch, 2), 1),
+    }, seed=42)
+    tasks = [t for (t, _), _ in zip(iter(it), range(30))]
+    assert set(tasks) == {"mlm", "fom"}
+    assert tasks.count("mlm") > tasks.count("fom")
+    # identical seed → identical schedule (the no-broadcast invariant)
+    it2 = MetaLoader({
+        "mlm": (dataset_iterator(mlm, pt.build_batch, 2), 2),
+        "fom": (dataset_iterator(fom, pt.build_batch, 2), 1),
+    }, seed=42)
+    tasks2 = [t for (t, _), _ in zip(iter(it2), range(30))]
+    assert tasks == tasks2
+
+    pf = PrefetchLoader(zip(["x"] * 3, ({"a": np.ones(2)},) * 3))
+    out = list(pf)
+    assert len(out) == 3 and out[0][0] == "x"
