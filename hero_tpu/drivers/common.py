@@ -1,0 +1,218 @@
+"""Shared driver plumbing: data construction, checkpoint load, curricula."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config.model_config import HeroConfig
+from hero_tpu.data.store import (QueryTokStore, SubTokStore, VideoFeatStore)
+from hero_tpu.data.video import FixedShapes, VideoFeatSubTokDataset
+from hero_tpu.models import pretrain as pretrain_lib
+from hero_tpu.utils.logger import LOGGER
+
+
+def shapes_from_opts(opts) -> FixedShapes:
+    txt_len = getattr(opts, "bucket_txt_len", None)
+    if not txt_len:
+        txt_len = min(opts.max_txt_len * (opts.sub_ctx_len + 1) + 1, 120)
+    return FixedShapes(
+        n_subs=getattr(opts, "bucket_n_subs", 32),
+        txt_len=txt_len,
+        frames_per_sub=getattr(opts, "bucket_frames_per_sub", 16),
+        n_frames=opts.max_clip_len,
+        n_queries=getattr(opts, "query_per_video", 5),
+        query_len=getattr(opts, "bucket_query_len", 32),
+        max_masked=getattr(opts, "bucket_max_masked", 12),
+        vfeat_dim=getattr(opts, "vfeat_dim", 4352),
+    )
+
+
+def load_video_sub_dataset(opts, shapes: FixedShapes
+                           ) -> VideoFeatSubTokDataset:
+    sub = SubTokStore(opts.sub_txt_db, max_clip_len=opts.max_clip_len)
+    vfeat = VideoFeatStore(opts.vfeat_db,
+                           frame_interval=opts.vfeat_interval,
+                           max_clip_len=opts.max_clip_len)
+    return VideoFeatSubTokDataset(sub, vfeat, shapes,
+                                  max_txt_len=opts.max_txt_len,
+                                  sub_ctx_len=opts.sub_ctx_len)
+
+
+def merge_params(init: Dict, loaded: Dict, prefix: str = "") -> Dict:
+    """Overlay loaded subtrees onto freshly-initialized params, reporting
+    missing/unexpected keys (reference load_pretrained_weight,
+    modeling_utils.py:68-121)."""
+    out = {}
+    for k, v in init.items():
+        path = f"{prefix}{k}"
+        if k in loaded:
+            if isinstance(v, dict):
+                out[k] = merge_params(v, loaded[k], path + "/")
+            else:
+                lv = np.asarray(loaded[k])
+                if lv.shape == v.shape:
+                    out[k] = jnp.asarray(lv, dtype=v.dtype)
+                else:
+                    LOGGER.warning("shape mismatch at %s: ckpt %s vs %s — "
+                                   "keeping init", path, lv.shape, v.shape)
+                    out[k] = v
+        else:
+            LOGGER.info("missing from checkpoint (kept init): %s", path)
+            out[k] = v
+    for k in loaded:
+        if k not in init and not k.startswith("__"):
+            LOGGER.info("unexpected checkpoint key ignored: %s%s", prefix,
+                        k)
+    return out
+
+
+def load_checkpoint_into(params: Dict, path: str,
+                         vocab_size: int = 50272) -> Dict:
+    if path.endswith(".pt"):
+        from hero_tpu.convert.torch_checkpoint import load_and_convert
+        loaded = load_and_convert(path, vocab_size=vocab_size)
+    else:
+        from hero_tpu.training.save import load_params
+        loaded = load_params(path)
+    return merge_params(params, loaded)
+
+
+def vsm_config_from_opts(opts) -> pretrain_lib.VsmConfig:
+    return pretrain_lib.VsmConfig(
+        ranking_loss_type=getattr(opts, "ranking_loss_type", "hinge"),
+        margin=getattr(opts, "margin", 0.1),
+        lw_neg_ctx=getattr(opts, "lw_neg_ctx", 0.0),
+        lw_neg_q=getattr(opts, "lw_neg_q", 0.0),
+        lw_st_ed=getattr(opts, "lw_st_ed", 0.01),
+        drop_svmr_prob=getattr(opts, "drop_svmr_prob", 0.0),
+        use_all_neg=getattr(opts, "use_all_neg", True),
+    )
+
+
+class Curriculum:
+    """Hard-negative + span-loss schedules (reference pretrain.py:277-287).
+
+    Values are returned as jnp scalars so flips never recompile."""
+
+    def __init__(self, opts):
+        self.starts = list(getattr(opts, "hard_negtiave_start_step", []))
+        self.pools = list(getattr(opts, "hard_pool_size", []))
+        self.weights = list(getattr(opts, "hard_neg_weights", []))
+        self.span_start = getattr(opts, "train_span_start_step", 0)
+        self.lw_st_ed = getattr(opts, "lw_st_ed", 0.01)
+
+    def at(self, step: int) -> Dict[str, Any]:
+        use_hard, pool, weight = False, 20, 10.0
+        for s, p, w in zip(self.starts, self.pools, self.weights):
+            if step >= s:
+                use_hard, pool, weight = True, p, float(w)
+        lw = self.lw_st_ed if step >= self.span_start else 0.0
+        return {
+            "use_hard_negative": jnp.asarray(use_hard),
+            "hard_pool_size": jnp.asarray(pool),
+            "hard_neg_weight": jnp.asarray(weight),
+            "lw_st_ed": jnp.asarray(lw, jnp.float32),
+        }
+
+
+def model_config_from_opts(opts) -> HeroConfig:
+    cfg = HeroConfig.from_json(opts.model_config)
+    return cfg.replace(max_clip_len=opts.max_clip_len,
+                       vfeat_dim=getattr(opts, "vfeat_dim", cfg.vfeat_dim))
+
+
+def eval_opts_from(opts):
+    from hero_tpu.evaluation.vcmr_eval import VcmrEvalOpts
+    return VcmrEvalOpts(
+        q2c_alpha=getattr(opts, "q2c_alpha", 20.0),
+        max_vcmr_video=getattr(opts, "max_vcmr_video", 100),
+        min_pred_l=getattr(opts, "min_pred_l", 2),
+        max_pred_l=getattr(opts, "max_pred_l", 16),
+        max_before_nms=getattr(opts, "max_before_nms", 200),
+        max_after_nms=getattr(opts, "max_after_nms", 100),
+        nms_thd=getattr(opts, "nms_thd", -1.0),
+        vfeat_interval=opts.vfeat_interval,
+        max_clip_len=opts.max_clip_len,
+        full_eval_tasks=tuple(getattr(opts, "full_eval_tasks",
+                                      ("VCMR", "SVMR", "VR"))),
+        eval_with_query_type=getattr(opts, "eval_with_query_type", True),
+    )
+
+
+def run_training(opts, mesh, step_fn, state, batch_iter, *,
+                 extras_fn=None, validate_fn=None, saver=None,
+                 restorer=None, log_every: int = 100):
+    """Generic train loop: micro-batch accumulation stacking, curricula
+    extras, throughput logging, periodic validation/checkpointing
+    (reference driver skeleton, pretrain.py:274-384).
+
+    ``batch_iter`` yields (task, numpy batch) micro-batches;
+    ``extras_fn(step)`` returns replicated traced extras merged into the
+    batch; ``validate_fn(state, step)`` runs on the primary process.
+    Returns the final state.
+    """
+    import time as _time
+    import jax as _jax
+    import jax.numpy as _jnp
+    import numpy as _np
+    from hero_tpu.parallel.mesh import is_primary, shard_task_batch
+
+    accum = max(getattr(opts, "gradient_accumulation_steps", 1), 1)
+    rng = _jax.random.PRNGKey(opts.seed + 1)
+    global_step = int(_jax.device_get(state.global_step))
+    t0, n_ex = _time.time(), 0
+    micro = []
+    task0 = None
+    for task, batch in batch_iter:
+        if task0 is None:
+            task0 = task
+        micro.append((task, batch))
+        if len(micro) < accum:
+            continue
+        task = micro[0][0]
+        assert all(t == task for t, _ in micro), (
+            "accumulation window must hold a single task")
+        mbs = [b for _, b in micro]
+        micro = []
+        extras = extras_fn(global_step) if extras_fn else {}
+        if accum > 1:
+            stacked = {k: _np.stack([m[k] for m in mbs]) for k in mbs[0]}
+            stacked.update({k: _jnp.broadcast_to(v, (accum,) + v.shape)
+                            for k, v in extras.items()})
+        else:
+            stacked = dict(mbs[0])
+            stacked.update(extras)
+        sharded = shard_task_batch(stacked, mesh, accum)
+        fn = step_fn[task] if isinstance(step_fn, dict) else step_fn
+        state, metrics = fn(state, sharded,
+                            _jax.random.fold_in(rng, global_step))
+        global_step += 1
+        first = next(iter(mbs[0].values()))
+        n_ex += int(np.asarray(first).shape[0]) * accum
+        if global_step % log_every == 0:
+            loss = float(_jax.device_get(metrics["loss"]))
+            dt = max(_time.time() - t0, 1e-6)
+            LOGGER.info("step %d [%s]: loss=%.4f  %.1f ex/s", global_step,
+                        task, loss, n_ex / dt)
+            t0, n_ex = _time.time(), 0
+        if (validate_fn is not None
+                and global_step % opts.valid_steps == 0 and is_primary()):
+            validate_fn(state, global_step)
+            if saver is not None:
+                saver.save(jax.device_get(state.params), global_step)
+        if restorer is not None:
+            restorer.step(state, opts.save_steps)
+        if global_step >= opts.num_train_steps:
+            break
+    if is_primary():
+        if saver is not None:
+            saver.save(jax.device_get(state.params), global_step)
+        if validate_fn is not None:
+            validate_fn(state, global_step)
+    LOGGER.info("training done at step %d", global_step)
+    return state

@@ -1,0 +1,138 @@
+"""Multi-task pretraining driver (reference ``pretrain.py``).
+
+``python -m hero_tpu.drivers.pretrain --config <json>`` with a config
+carrying ``targets`` = [{"name", "sub_txt_db", "vfeat_db", "splits":
+[{"ratio": [mlm, mfm-nce, fom, vsm], "tasks": [...]}]}]-style entries or
+the simplified hero_tpu schema below; one jit'd step per task (4 compiled
+graphs), task chosen per optimizer step by the common-RNG MetaLoader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from hero_tpu.config import opts as opts_lib
+from hero_tpu.data import pretrain_tasks as pt
+from hero_tpu.data.loader import MetaLoader, PrefetchLoader, dataset_iterator
+from hero_tpu.drivers import common
+from hero_tpu.models import pretrain as pretrain_lib
+from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.training.optim import AdamWConfig
+from hero_tpu.training.save import (ModelSaver, TrainingRestorer,
+                                    save_training_meta)
+from hero_tpu.training.step import (TrainSpec, TrainState,
+                                    make_sharded_train_step, shard_state)
+from hero_tpu.utils.logger import LOGGER, add_log_to_file
+from hero_tpu.utils.misc import set_random_seed
+
+DEFAULT_TASKS = {"mlm": 2, "mfm-nce": 2, "fom": 1, "vsm": 2}
+
+
+def build_task_datasets(opts, video_db):
+    vids = list(video_db.txt_db.id2len.keys())
+    tasks = {}
+    ratios = getattr(opts, "task_ratios", None) or DEFAULT_TASKS
+    for task, ratio in ratios.items():
+        if task == "vsm":
+            ds = pt.VsmDataset(vids, video_db,
+                               query_per_video=getattr(
+                                   opts, "query_per_video", 5),
+                               seed=opts.seed)
+        elif task.startswith("mlm"):
+            ds = pt.MlmDataset(vids, video_db,
+                               mask_prob=getattr(opts, "mask_prob", 0.15),
+                               seed=opts.seed)
+        elif task in ("mfm-nce", "mffr"):
+            ds = pt.MfmDataset(vids, video_db,
+                               mask_prob=getattr(opts, "mask_prob", 0.15),
+                               seed=opts.seed)
+        elif task == "fom":
+            ds = pt.FomDataset(vids, video_db, seed=opts.seed)
+        else:
+            raise ValueError(task)
+        tasks[task] = (ds, ratio)
+    return tasks
+
+
+def main(opts):
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts),
+                       {"model_config": opts.model_config})
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    mesh = divisor_mesh(opts.train_batch_size)
+
+    shapes = common.shapes_from_opts(opts)
+    video_db = common.load_video_sub_dataset(opts, shapes)
+    task_datasets = build_task_datasets(opts, video_db)
+    LOGGER.info("pretraining on %d videos, tasks %s", len(video_db),
+                {t: r for t, (_, r) in task_datasets.items()})
+
+    cfg = common.model_config_from_opts(opts)
+    vsm = common.vsm_config_from_opts(opts)
+    params = pretrain_lib.init_hero_for_pretraining(
+        jax.random.PRNGKey(opts.seed), cfg, vsm)
+    if opts.checkpoint:
+        params = common.load_checkpoint_into(params, opts.checkpoint,
+                                             cfg.f_config.vocab_size)
+    curriculum = common.Curriculum(opts)
+
+    def make_loss(task):
+        if task == "vsm":
+            def loss_fn(p, batch, rng):
+                cur = {k: batch.pop(k)
+                       for k in ("use_hard_negative", "hard_pool_size",
+                                 "hard_neg_weight", "lw_st_ed")}
+                a, b, c = pretrain_lib.forward_vsm(
+                    p, cfg, vsm, batch, rng=rng, train=True,
+                    dtype=jnp.bfloat16, **cur)
+                return a + b + c, {}
+        else:
+            def loss_fn(p, batch, rng):
+                for k in ("use_hard_negative", "hard_pool_size",
+                          "hard_neg_weight", "lw_st_ed"):
+                    batch.pop(k, None)
+                s, n = pretrain_lib.forward_pretrain(
+                    p, cfg, vsm, batch, task, rng=rng, train=True,
+                    dtype=jnp.bfloat16)
+                return s / jnp.maximum(n, 1.0), {}
+        return loss_fn
+
+    accum = max(opts.gradient_accumulation_steps, 1)
+    spec = TrainSpec(learning_rate=opts.learning_rate,
+                     warmup_steps=opts.warmup_steps,
+                     num_train_steps=opts.num_train_steps,
+                     grad_norm=opts.grad_norm,
+                     adamw=AdamWConfig(beta1=opts.betas[0],
+                                       beta2=opts.betas[1],
+                                       weight_decay=opts.weight_decay))
+    step_fns = {t: make_sharded_train_step(make_loss(t), spec, mesh,
+                                           accum_steps=accum)
+                for t in task_datasets}
+    state = shard_state(TrainState.create(params), mesh)
+    restorer = TrainingRestorer(opts.output_dir,
+                                {"num_train_steps": opts.num_train_steps,
+                                 "learning_rate": opts.learning_rate})
+    if restorer.can_restore():
+        state = shard_state(restorer.restore(state), mesh)
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+
+    loaders = {
+        t: (dataset_iterator(ds, pt.build_batch, opts.train_batch_size,
+                             seed=opts.seed), ratio)
+        for t, (ds, ratio) in task_datasets.items()
+    }
+    meta = MetaLoader(loaders, accum_steps=accum, seed=opts.seed)
+    loader = PrefetchLoader(iter(meta), device_put=lambda b: b)
+
+    common.run_training(opts, mesh, step_fns, state, loader,
+                        extras_fn=curriculum.at, saver=saver,
+                        restorer=restorer)
+
+
+if __name__ == "__main__":
+    main(opts_lib.get_pretrain_args())

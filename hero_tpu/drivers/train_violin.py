@@ -1,0 +1,123 @@
+"""VIOLIN entailment finetuning (reference ``train_violin.py``): single
+BCE loss over sigmoid logits (reference :160-162)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config import opts as opts_lib
+from hero_tpu.data.downstream_tasks import ViolinDataset, build_batch
+from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
+from hero_tpu.data.store import QueryTokStore
+from hero_tpu.drivers import common
+from hero_tpu.evaluation.downstream import validate_violin
+from hero_tpu.models import violin as violin_lib
+from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.training.optim import AdamWConfig
+from hero_tpu.training.save import (ModelSaver, TrainingRestorer,
+                                    save_training_meta)
+from hero_tpu.training.step import (TrainSpec, TrainState,
+                                    make_sharded_train_step, shard_state)
+from hero_tpu.utils.logger import LOGGER, add_log_to_file
+from hero_tpu.utils.misc import set_random_seed
+
+
+def main(opts):
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    save_training_meta(opts.output_dir, vars(opts),
+                       {"model_config": opts.model_config})
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    mesh = divisor_mesh(opts.train_batch_size * 2)  # paired statements
+
+    shapes = common.shapes_from_opts(opts)
+    video_db = common.load_video_sub_dataset(opts, shapes)
+    qdb = QueryTokStore(opts.train_query_txt_db,
+                        max_txt_len=opts.max_txt_len)
+    pos_qids = [q for q in qdb.id2len if q.endswith("_0")]
+    train_ds = ViolinDataset(pos_qids, video_db, qdb,
+                             stmt_len=getattr(opts, "bucket_query_len",
+                                              40))
+    LOGGER.info("violin train: %d statement pairs", len(train_ds))
+
+    cfg = common.model_config_from_opts(opts)
+    params = violin_lib.init_hero_for_violin(
+        jax.random.PRNGKey(opts.seed), cfg)
+    if opts.checkpoint:
+        params = common.load_checkpoint_into(params, opts.checkpoint,
+                                             cfg.f_config.vocab_size)
+
+    def loss_fn(p, batch, rng):
+        batch = dict(batch)
+        batch["targets"] = batch["targets"].reshape(-1)
+        loss = violin_lib.forward_violin(p, cfg, batch, rng=rng,
+                                         train=True, dtype=jnp.bfloat16)
+        return loss, {}
+
+    accum = max(opts.gradient_accumulation_steps, 1)
+    spec = TrainSpec(learning_rate=opts.learning_rate,
+                     warmup_steps=opts.warmup_steps,
+                     num_train_steps=opts.num_train_steps,
+                     grad_norm=opts.grad_norm,
+                     adamw=AdamWConfig(beta1=opts.betas[0],
+                                       beta2=opts.betas[1],
+                                       weight_decay=opts.weight_decay,
+                                       lr_mul=getattr(opts, "lr_mul", 1.0)))
+    step_fn = make_sharded_train_step(loss_fn, spec, mesh,
+                                      accum_steps=accum)
+    state = shard_state(TrainState.create(params), mesh)
+    restorer = TrainingRestorer(opts.output_dir,
+                                {"num_train_steps": opts.num_train_steps,
+                                 "learning_rate": opts.learning_rate})
+    if restorer.can_restore():
+        state = shard_state(restorer.restore(state), mesh)
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+
+    def batches():
+        it = dataset_iterator(
+            train_ds,
+            lambda ds, idx: build_batch(ds, idx, flatten_rows=True),
+            opts.train_batch_size, seed=opts.seed)
+        for batch in it:
+            b = {k: v for k, v in batch.items() if not k.startswith("__")}
+            b["targets"] = np.asarray(b["targets"]).reshape(-1)
+            yield "violin", b
+
+    def validate(state, step):
+        if not getattr(opts, "val_query_txt_db", None):
+            return
+        vqdb = QueryTokStore(opts.val_query_txt_db,
+                             max_txt_len=opts.max_txt_len)
+        vq = [q for q in vqdb.id2len if q.endswith("_0")]
+        val_ds = ViolinDataset(vq, video_db, vqdb,
+                               stmt_len=getattr(opts, "bucket_query_len",
+                                                40))
+
+        def val_batches():
+            bs = opts.val_batch_size
+            for s in range(0, len(val_ds) - bs + 1, bs):
+                b = build_batch(val_ds, list(range(s, s + bs)),
+                                flatten_rows=True)
+                qids = [q for pair in b.pop("__qids__") for q in pair]
+                b = {k: v for k, v in b.items() if not k.startswith("__")}
+                b["qids"] = qids
+                b["targets_host"] = np.asarray(b["targets"]).reshape(-1)
+                b["targets"] = b["targets_host"]
+                yield b
+
+        log, _ = validate_violin(jax.device_get(state.params), cfg,
+                                 val_batches())
+        LOGGER.info("[step %d] violin val: %s", step, log)
+
+    common.run_training(opts, mesh, step_fn, state,
+                        PrefetchLoader(batches(), device_put=lambda b: b),
+                        validate_fn=validate, saver=saver,
+                        restorer=restorer)
+
+
+if __name__ == "__main__":
+    main(opts_lib.get_violin_args())

@@ -61,6 +61,42 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
+def divisor_mesh(global_batch: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Largest device count that divides the global batch (a 1-chip mesh
+    degrades gracefully, like the reference's single-GPU fallback)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while global_batch % n:
+        n -= 1
+    return get_mesh(n, devices)
+
+
+def shard_task_batch(batch: Any, mesh: Mesh, accum_steps: int = 1) -> Any:
+    """device_put a task batch: arrays with a batch axis get data sharding
+    (axis 0, or axis 1 under a leading accum axis); scalars/curriculum
+    values are replicated."""
+    if accum_steps > 1:
+        data = NamedSharding(mesh, P(None, DATA_AXIS))
+        min_dims = 2
+    else:
+        data = NamedSharding(mesh, P(DATA_AXIS))
+        min_dims = 1
+    rep = NamedSharding(mesh, P())
+    n_dev = mesh.devices.size
+    batch_axis = 1 if accum_steps > 1 else 0
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, "dtype") else x
+        if (getattr(x, "ndim", 0) >= min_dims
+                and x.shape[batch_axis] % n_dev == 0):
+            return jax.device_put(x, data)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, batch)
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0
 

@@ -121,10 +121,7 @@ def make_sharded_train_step(loss_fn: Callable, spec: TrainSpec, mesh: Mesh,
     replicated state, batch sharded on the data axis (dim 0 of every array,
     after the accum axis if present)."""
     rep = NamedSharding(mesh, P())
-    if accum_steps > 1:
-        data = NamedSharding(mesh, P(None, "data"))
-    else:
-        data = NamedSharding(mesh, P("data"))
     step = _build_step(loss_fn, spec, accum_steps)
-    return jax.jit(step, in_shardings=(rep, data, rep),
-                   out_shardings=(rep, rep), donate_argnums=(0,))
+    # batch sharding is taken from the inputs (see mesh.shard_task_batch:
+    # per-key data/replicated placement), state/metrics stay replicated
+    return jax.jit(step, out_shardings=(rep, rep), donate_argnums=(0,))

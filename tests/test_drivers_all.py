@@ -1,0 +1,166 @@
+"""Smoke tests for every remaining driver on the synthetic corpus."""
+
+import json
+import os
+
+import pytest
+
+from hero_tpu.config import opts as opts_lib
+from hero_tpu.data.testing import build_synthetic_corpus
+
+MAX_FRAMES = 16
+
+MODEL_CFG = {
+    "f_config": {"hidden_size": 32, "num_hidden_layers": 1,
+                 "num_attention_heads": 4, "intermediate_size": 64,
+                 "max_position_embeddings": 64, "vocab_size": 128,
+                 "type_vocab_size": 2},
+    "c_config": {"hidden_size": 32, "num_hidden_layers": 1,
+                 "num_attention_heads": 4, "intermediate_size": 64,
+                 "max_position_embeddings": 64, "type_vocab_size": 2},
+    "q_config": {"hidden_size": 32, "num_hidden_layers": 0,
+                 "num_attention_heads": 4, "intermediate_size": 64,
+                 "max_position_embeddings": 64, "vocab_size": 128,
+                 "type_vocab_size": 1},
+    "d_config": {"hidden_size": 32, "num_hidden_layers": 1,
+                 "num_attention_heads": 4, "intermediate_size": 64,
+                 "max_position_embeddings": 64, "vocab_size": 128,
+                 "type_vocab_size": 1},
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("drv"))
+    corpus = build_synthetic_corpus(root, n_videos=6,
+                                    max_frames=MAX_FRAMES, vfeat_dim=64)
+    mc = os.path.join(root, "model.json")
+    with open(mc, "w") as f:
+        json.dump(MODEL_CFG, f)
+    base = {
+        "sub_txt_db": corpus["sub"],
+        "vfeat_db": corpus["vfeat"],
+        "model_config": mc,
+        "checkpoint": None,
+        "max_clip_len": MAX_FRAMES,
+        "max_txt_len": 12,
+        "vfeat_interval": 1.5,
+        "vfeat_dim": 64,
+        "train_batch_size": 2,
+        "val_batch_size": 2,
+        "gradient_accumulation_steps": 1,
+        "learning_rate": 1e-3,
+        "valid_steps": 4,
+        "save_steps": 4,
+        "num_train_steps": 4,
+        "warmup_steps": 1,
+        "grad_norm": 1.0,
+        "sub_ctx_len": 0,
+        "seed": 3,
+        "bucket_n_subs": 4,
+        "bucket_frames_per_sub": 12,
+        "bucket_query_len": 24,
+        "bucket_max_masked": 4,
+    }
+    return root, corpus, base
+
+
+def _write_cfg(root, name, d):
+    p = os.path.join(root, name)
+    with open(p, "w") as f:
+        json.dump(d, f)
+    return p
+
+
+def test_pretrain_driver(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "pretrain_out"),
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0.01,
+               query_per_video=2,
+               hard_negtiave_start_step=[2], hard_pool_size=[4],
+               hard_neg_weights=[10])
+    path = _write_cfg(root, "pretrain.json", cfg)
+    opts = opts_lib.get_pretrain_args(["--config", path])
+    from hero_tpu.drivers import pretrain as drv
+    drv.main(opts)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+    # pretrained ckpt becomes the finetune init
+    ckpts = os.listdir(os.path.join(cfg["output_dir"], "ckpt"))
+    assert ckpts
+
+
+def test_videoqa_driver_and_eval(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "qa_out"),
+               train_query_txt_db=corpus["qa_query"],
+               val_query_txt_db=corpus["qa_query"],
+               num_answers=3, lw_st_ed=0.4, task="tvqa")
+    path = _write_cfg(root, "qa.json", cfg)
+    opts = opts_lib.get_videoqa_args(["--config", path])
+    from hero_tpu.drivers import train_videoqa as drv
+    drv.main(opts)
+
+    from hero_tpu.drivers import eval_videoqa
+    args = eval_videoqa.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4"])
+    log, results = eval_videoqa.main(args)
+    assert log["n_ex"] == 6 and "acc" in log
+    assert os.path.exists(os.path.join(cfg["output_dir"],
+                                       "qa_results_4_all.json"))
+
+
+def test_violin_driver_and_eval(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "violin_out"),
+               train_query_txt_db=corpus["violin_query"],
+               val_query_txt_db=corpus["violin_query"], task="violin")
+    path = _write_cfg(root, "violin.json", cfg)
+    opts = opts_lib.get_violin_args(["--config", path])
+    from hero_tpu.drivers import train_violin as drv
+    drv.main(opts)
+
+    from hero_tpu.drivers import eval_violin
+    args = eval_violin.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4"])
+    log, results = eval_violin.main(args)
+    assert log["n_ex"] == 12 and "acc" in log
+
+
+def test_tvc_driver_and_inf(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "tvc_out"),
+               cap_db=corpus["cap"], task="tvc", lsr=0.1,
+               max_gen_step=5)
+    path = _write_cfg(root, "tvc.json", cfg)
+    opts = opts_lib.get_tvc_args(["--config", path])
+    from hero_tpu.drivers import train_tvc as drv
+    drv.main(opts)
+    gen = [f for f in os.listdir(cfg["output_dir"])
+           if f.startswith("tvc_gen_")]
+    assert gen
+
+    from hero_tpu.drivers import inf_tvc
+    sub_path = os.path.join(root, "tvc_sub.jsonl")
+    args = inf_tvc.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4",
+         "--submission", sub_path])
+    inf_tvc.main(args)
+    with open(sub_path) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert recs and "descs" in recs[0]
+
+
+def test_vr_driver(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "vr_out"),
+               train_query_txt_db=corpus["query"],
+               val_query_txt_db=None,
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0,
+               task="msrvtt_video_sub",
+               max_vcmr_video=6, vcmr_eval_video_batch_size=3,
+               vcmr_eval_batch_size=6)
+    path = _write_cfg(root, "vr.json", cfg)
+    opts = opts_lib.get_vr_args(["--config", path])
+    from hero_tpu.drivers import train_vr as drv
+    drv.main(opts)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
