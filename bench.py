@@ -60,6 +60,8 @@ def analytic_train_flops_per_example(shape: synthetic.BatchShape,
 
 
 def main():
+    from hero_tpu.utils.misc import enable_fast_rng
+    enable_fast_rng()
     cfg = flagship_config()
     vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01)
     shape = synthetic.BatchShape(batch=32, n_subs=8, txt_len=40,

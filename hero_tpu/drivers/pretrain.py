@@ -60,6 +60,8 @@ def build_task_datasets(opts, video_db):
 
 def main(opts):
     set_random_seed(opts.seed)
+    from hero_tpu.utils.misc import enable_fast_rng
+    enable_fast_rng()
     os.makedirs(opts.output_dir, exist_ok=True)
     save_training_meta(opts.output_dir, vars(opts),
                        {"model_config": opts.model_config})

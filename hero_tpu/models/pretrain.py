@@ -85,15 +85,21 @@ def init_hero_for_pretraining(rng, cfg: HeroConfig,
 def conv1d_same(kernel: jax.Array, x: jax.Array) -> jax.Array:
     """1-channel 1-D conv, SAME padding, no bias (st/ed predictors).
 
-    x: (N, L) → (N, L).
+    Implemented as k shifted-add taps instead of lax.conv — XLA lowers the
+    (N, 1, L) conv to a disproportionately expensive fusion on TPU
+    (~10 ms/step at recipe sizes), while the unrolled taps fuse into one
+    cheap VPU pass.  x: (N, L) → (N, L).
     """
     k = kernel.shape[0]
-    xf = x[:, None, :].astype(jnp.float32)          # (N, C=1, L)
-    kf = kernel[None, None, :].astype(jnp.float32)  # (O=1, I=1, K)
-    out = jax.lax.conv_general_dilated(
-        xf, kf, window_strides=(1,), padding=[(k // 2, k // 2)],
-        dimension_numbers=("NCH", "OIH", "NCH"))
-    return out[:, 0, :]
+    half = k // 2
+    xf = x.astype(jnp.float32)
+    L = x.shape[-1]
+    padded = jnp.pad(xf, [(0, 0)] * (x.ndim - 1) + [(half, half)])
+    out = jnp.zeros_like(xf)
+    for i in range(k):
+        out = out + kernel[i].astype(jnp.float32) * jax.lax.slice_in_dim(
+            padded, i, i + L, axis=-1)
+    return out
 
 
 def encode_query(params: Params, cfg: HeroConfig, input_ids, attn_mask, *,

@@ -63,11 +63,20 @@ def attention(p: Params, x: jax.Array, kv_mask: Optional[jax.Array],
     """Self- (kv=None) or cross-attention plus the output projection,
     dropout and residual LayerNorm."""
     src = x if kv is None else kv
-    q = _split_heads(nn.linear(p["query"], x, dtype), cfg.num_attention_heads)
-    k = _split_heads(nn.linear(p["key"], src, dtype),
-                     cfg.num_attention_heads)
-    v = _split_heads(nn.linear(p["value"], src, dtype),
-                     cfg.num_attention_heads)
+    H = cfg.num_attention_heads
+    if kv is None:
+        # fused QKV: one (D, 3D) matmul instead of three (D, D) ones
+        wqkv = jnp.concatenate([p["query"]["kernel"], p["key"]["kernel"],
+                                p["value"]["kernel"]], axis=1)
+        bqkv = jnp.concatenate([p["query"]["bias"], p["key"]["bias"],
+                                p["value"]["bias"]])
+        qkv = nn.linear({"kernel": wqkv, "bias": bqkv}, x, dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, H) for t in (q, k, v))
+    else:
+        q = _split_heads(nn.linear(p["query"], x, dtype), H)
+        k = _split_heads(nn.linear(p["key"], src, dtype), H)
+        v = _split_heads(nn.linear(p["value"], src, dtype), H)
     arate = cfg.attention_probs_dropout_prob if train else 0.0
     ctx = multi_head_attention(
         q, k, v, kv_mask, dropout_rate=arate,
@@ -134,8 +143,15 @@ def init_encoder(rng, cfg: TransformerConfig) -> Params:
 
 def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
             cfg: TransformerConfig, *, rng: Optional[jax.Array] = None,
-            train: bool = False, dtype=jnp.float32) -> jax.Array:
-    """BertEncoder: scan one layer body over stacked params."""
+            train: bool = False, dtype=jnp.float32,
+            remat: bool = False) -> jax.Array:
+    """BertEncoder: scan one layer body over stacked params.
+
+    ``remat``: rematerialize each layer in the backward pass.  The step is
+    HBM-bound (~26 GB traffic vs ~1 TFLOP compute at recipe sizes), so
+    recomputing the FFN intermediates and attention probs instead of
+    saving them trades cheap MXU flops for the dominant memory traffic.
+    """
     L = cfg.num_hidden_layers
     if L == 0:
         return x
@@ -153,6 +169,8 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
                           dtype=dtype)
         return h, None
 
+    if remat and train:
+        body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, (p["layers"], keys))
     return x
 

@@ -3,21 +3,22 @@
 HERO's attention is short-sequence, high-count: stage-1 runs ``n_subs``
 sequences of ~80-160 tokens, stage-2 runs clips of ~100 frames (reference
 ``model/layers.py:96-164`` materializes the full score matrix in HBM).  In
-this regime a *single-block* fused kernel — the whole (L, L) score tile lives
-in VMEM for one (batch, head) program — is faster than streaming
-flash-attention: no online-softmax bookkeeping, one HBM round-trip for
-q/k/v/out, and the MXU sees two back-to-back (L, d)x(d, L)/(L, L)x(L, d)
-matmuls.  Sequences are padded to a lane-aligned length by the wrapper and
-masked with the reference's additive -10000 convention
-(``model/layers.py:307-310``).
+this regime the fused kernel keeps the whole per-row score tile in VMEM —
+one HBM round-trip for q/k/v/out, no (B, H, L, L) score materialization.
 
-Attention-probability dropout (p=0.1 in training) runs *inside* the kernel
-with the TPU PRNG; the backward kernel regenerates the identical mask from
-the same seed, so the custom VJP is exact.
+Kernel design (v2, tuned on v5e):
+- grid is ``(B,)`` with ALL heads processed per program (an unrolled head
+  loop) — 12× fewer programs than a (B, H) grid, so Mosaic pipelines DMA
+  across rows instead of thrashing tiny programs;
+- matmuls run in the input dtype (bf16 on the MXU) with fp32
+  accumulation; softmax statistics in fp32;
+- attention-probability dropout (p=0.1 in training) runs *inside* the
+  kernel with the TPU PRNG; the backward kernel regenerates the identical
+  mask from the same seed, so the custom VJP is exact.
 
-The public entry is :func:`multi_head_attention`, which dispatches to the
-Pallas kernel on TPU and to a jnp reference path elsewhere (tests force the
-jnp path or interpret mode on CPU).
+The public entry :func:`multi_head_attention` dispatches to the Pallas
+kernel on TPU and to a jnp reference path elsewhere (CPU tests force the
+jnp path or interpret mode).
 """
 
 from __future__ import annotations
@@ -67,13 +68,12 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernel
+# Pallas fused kernel (all heads per program)
 # ---------------------------------------------------------------------------
 
 def _dropout_keep_mask(shape, rate: float):
     """Uniform keep mask from the already-seeded TPU PRNG."""
     bits = pltpu.prng_random_bits(shape)  # uint32
-    # top 24 bits → uniform [0, 1)
     u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
     return u >= rate
 
@@ -84,82 +84,84 @@ def _causal_bias(Lq: int, Lk: int):
     return jnp.where(col > row + (Lk - Lq), NEG_INF, 0.0)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale: float, dropout_rate: float, causal: bool):
-    b, h = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)          # (Lq, d)
-    k = k_ref[0, 0].astype(jnp.float32)          # (Lk, d)
-    v = v_ref[0, 0].astype(jnp.float32)          # (Lk, d)
+def _probs(q, k, bias, scale, causal):
+    """softmax(q kᵀ · scale + bias) in fp32; q,k stay in input dtype so the
+    MXU runs its native bf16 path."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
     s = s + bias
     if causal:
         s = s + _causal_bias(s.shape[0], s.shape[1])
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                scale: float, dropout_rate: float, causal: bool,
+                n_heads: int):
+    b = pl.program_id(0)
+    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
-        keep = _dropout_keep_mask(p.shape, dropout_rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+        pltpu.prng_seed(seed_ref[0], b)
+    for h in range(n_heads):
+        p = _probs(q_ref[0, h], k_ref[0, h], bias, scale, causal)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_mask(p.shape, dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, h],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float,
-                dropout_rate: float, causal: bool):
-    b, h = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
-    s = s + bias
-    if causal:
-        s = s + _causal_bias(s.shape[0], s.shape[1])
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+                dropout_rate: float, causal: bool, n_heads: int):
+    b = pl.program_id(0)
+    bias = (1.0 - mask_ref[0]) * NEG_INF
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
-        keep = _dropout_keep_mask(p.shape, dropout_rate)
-        inv_keep = 1.0 / (1.0 - dropout_rate)
-        pd = jnp.where(keep, p * inv_keep, 0.0)
-    else:
-        pd = p
-    # dv = pd^T @ do
-    dv = jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # dpd = do @ v^T
-    dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        dp = jnp.where(keep, dpd * inv_keep, 0.0)
-    else:
-        dp = dpd
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        # identical seed + identical draw ORDER as the forward kernel
+        pltpu.prng_seed(seed_ref[0], b)
+    for h in range(n_heads):
+        q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
+        p = _probs(q, k, bias, scale, causal)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_mask(p.shape, dropout_rate)
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd16 = pd.astype(v.dtype)
+        dv = jax.lax.dot_general(pd16, do.astype(v.dtype),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(do.astype(v.dtype), v,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dpd * inv_keep, 0.0)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(q.dtype)
+        dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds16, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _bh_specs(B, H, L, d):
+def _row_specs(H, L, d):
     # index_map also receives the scalar-prefetch ref (seed) — ignore it
-    return pl.BlockSpec((1, 1, L, d), lambda b, h, *_: (b, h, 0, 0),
+    return pl.BlockSpec((1, H, L, d), lambda b, *_: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _mask_spec(B, L):
-    # mask arrives as (B, 1, L); block (1, 1, L) keeps the trailing dims
-    # equal to the array dims (Mosaic requires sublane%8==0 or full-dim)
-    return pl.BlockSpec((1, 1, L), lambda b, h, *_: (b, 0, 0),
+def _mask_spec(L):
+    # mask arrives as (B, 1, L); block keeps trailing dims == array dims
+    return pl.BlockSpec((1, 1, L), lambda b, *_: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -174,17 +176,17 @@ def _pallas_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret, causal):
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
-    grid = (B, H)
     kernel = functools.partial(_fwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate, causal=causal)
+                               dropout_rate=dropout_rate, causal=causal,
+                               n_heads=H)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[_bh_specs(B, H, Lq, d), _bh_specs(B, H, Lk, d),
-                      _bh_specs(B, H, Lk, d), _mask_spec(B, Lk)],
-            out_specs=_bh_specs(B, H, Lq, d),
+            grid=(B,),
+            in_specs=[_row_specs(H, Lq, d), _row_specs(H, Lk, d),
+                      _row_specs(H, Lk, d), _mask_spec(Lk)],
+            out_specs=_row_specs(H, Lq, d),
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, d), q.dtype),
         interpret=interpret,
@@ -204,17 +206,18 @@ def _fused_attention_bwd(dropout_rate, interpret, causal, res, do):
     Lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(_bwd_kernel, scale=scale,
-                               dropout_rate=dropout_rate, causal=causal)
+                               dropout_rate=dropout_rate, causal=causal,
+                               n_heads=H)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H),
-            in_specs=[_bh_specs(B, H, Lq, d), _bh_specs(B, H, Lk, d),
-                      _bh_specs(B, H, Lk, d), _mask_spec(B, Lk),
-                      _bh_specs(B, H, Lq, d)],
-            out_specs=[_bh_specs(B, H, Lq, d), _bh_specs(B, H, Lk, d),
-                       _bh_specs(B, H, Lk, d)],
+            grid=(B,),
+            in_specs=[_row_specs(H, Lq, d), _row_specs(H, Lk, d),
+                      _row_specs(H, Lk, d), _mask_spec(Lk),
+                      _row_specs(H, Lq, d)],
+            out_specs=[_row_specs(H, Lq, d), _row_specs(H, Lk, d),
+                       _row_specs(H, Lk, d)],
         ),
         out_shape=[jax.ShapeDtypeStruct((B, H, Lq, d), q.dtype),
                    jax.ShapeDtypeStruct((B, H, Lk, d), k.dtype),
@@ -242,11 +245,16 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     ``kv_mask``: (B, Lk) with 1 = valid key.  ``causal=True`` additionally
     applies a lower-triangular mask (TVC decoder self-attention; requires
     Lq == Lk on the Pallas path so padding preserves the diagonal).
+
+    Dispatch is shape-based (measured on v5e): below ~256 keys, XLA's
+    fused unpadded path beats the VMEM-resident kernel (the 128-lane
+    padding wastes more than the saved HBM round-trip); above it, the
+    Pallas kernel wins and the gap grows with L².
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and Lk > 128)
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.float32)
     kv_mask = kv_mask.astype(jnp.float32)
