@@ -88,7 +88,9 @@ def init_embedding(rng, n: int, d: int, std: float = 0.02,
 
 def embedding_lookup(table: jax.Array, ids: jax.Array, dtype=None):
     dtype = dtype or table.dtype
-    return jnp.take(table.astype(dtype), ids, axis=0)
+    # gather first, cast the gathered rows: casting the table would
+    # materialize a full converted copy (150+ MB for the RoBERTa vocab)
+    return jnp.take(table, ids, axis=0).astype(dtype)
 
 
 def init_layer_norm(d: int) -> Params:

@@ -29,6 +29,8 @@ from hero_tpu.ops.attention import multi_head_attention
 
 Params = Dict[str, Any]
 
+UNROLL = True
+
 
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     B, L, D = x.shape
@@ -171,7 +173,7 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
 
     if remat and train:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, (p["layers"], keys))
+    x, _ = jax.lax.scan(body, x, (p["layers"], keys), unroll=UNROLL)
     return x
 
 

@@ -156,9 +156,16 @@ _fused_layer_norm.defvjp(_fused_ln_fwd, _fused_ln_bwd)
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
                eps: float = 1e-5,
                use_pallas: Optional[bool] = None) -> jax.Array:
-    """LayerNorm over the last axis; any leading shape."""
+    """LayerNorm over the last axis; any leading shape.
+
+    Dispatch is measured (v5e): for the 768-wide model LNs, XLA's inlined
+    LN fuses with the surrounding dropout/residual ops and beats a
+    separate kernel launch; the Pallas kernel wins on the wide (4352-d)
+    feature LNs where a single VMEM pass avoids spilling fp32 temps.
+    """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and x.shape[-1] >= 2048)
     if not use_pallas:
         return layer_norm_reference(x, weight, bias, eps)
     shape = x.shape
