@@ -57,6 +57,7 @@ class VcmrDataset:
         self.vids = list(video_ids)
         self.seed = seed
         self.frame_interval = video_db.img_db.frame_interval
+        self.max_txt_len = getattr(video_db, "max_txt_len", -1)
         if video_db.vid2dur:
             self.vid2idx = video_db.vid2idx
             self.global_vid2idx = self.vid2idx

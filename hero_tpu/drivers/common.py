@@ -43,6 +43,34 @@ def load_video_sub_dataset(opts, shapes: FixedShapes
                                   sub_ctx_len=opts.sub_ctx_len)
 
 
+def load_video_only_dataset(opts, shapes: FixedShapes):
+    """Video-only corpora (reference load_video_only_dataset,
+    load_data.py:47-54): no subtitle db — a [CLS] pseudo-sub spans the
+    clip, so shapes must allow frames_per_sub >= n_frames."""
+    from hero_tpu.data.video import VideoOnlyDataset
+
+    class _MetaTxt:
+        cls_ = 0
+        sep = 2
+        pad = 1
+        mask = 50264
+        id2len = {}
+
+    vfeat = VideoFeatStore(opts.vfeat_db,
+                           frame_interval=opts.vfeat_interval,
+                           max_clip_len=opts.max_clip_len)
+    shapes = shapes.replace(n_subs=1,
+                            frames_per_sub=max(shapes.frames_per_sub,
+                                               shapes.n_frames),
+                            txt_len=max(shapes.txt_len, 8))
+    ds = VideoOnlyDataset(vfeat, _MetaTxt(), shapes)
+    return ds
+
+
+def is_video_only_task(task: str) -> bool:
+    return task.endswith("video_only")
+
+
 def merge_params(init: Dict, loaded: Dict, prefix: str = "") -> Dict:
     """Overlay loaded subtrees onto freshly-initialized params, reporting
     missing/unexpected keys (reference load_pretrained_weight,

@@ -131,9 +131,26 @@ def main(opts):
     meta = MetaLoader(loaders, accum_steps=accum, seed=opts.seed)
     loader = PrefetchLoader(iter(meta), device_put=lambda b: b)
 
+    def validate(state, step):
+        from hero_tpu.evaluation.pretrain_val import validate_pretrain
+        n_val = getattr(opts, "n_val_batches", 2)
+        bs = getattr(opts, "val_batch_size", opts.train_batch_size)
+
+        def val_batches(ds):
+            n = min(n_val * bs, len(ds))
+            return [pt.build_batch(ds, list(range(s, min(s + bs, n))))
+                    for s in range(0, n, bs)]
+
+        val_loaders = {t: val_batches(ds)
+                       for t, (ds, _) in task_datasets.items()}
+        log = validate_pretrain(jax.device_get(state.params), cfg, vsm,
+                                val_loaders)
+        LOGGER.info("[step %d] %s", step,
+                    {k: round(v, 4) for k, v in log.items()})
+
     common.run_training(opts, mesh, step_fns, state, loader,
-                        extras_fn=curriculum.at, saver=saver,
-                        restorer=restorer)
+                        extras_fn=curriculum.at, validate_fn=validate,
+                        saver=saver, restorer=restorer)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,10 @@ from hero_tpu.utils.misc import set_random_seed
 
 def build_eval_inputs(video_db, query_db, opts):
     """Video batches + query batches + metadata for validate_full_vcmr."""
-    video_ids = sorted(video_db.txt_db.id2len.keys())
+    if hasattr(video_db.txt_db, "id2len") and video_db.txt_db.id2len:
+        video_ids = sorted(video_db.txt_db.id2len.keys())
+    else:
+        video_ids = sorted(video_db.vids)
     video2idx_global = None
     v2i = video_db.vid2idx
     if v2i:
@@ -79,10 +82,15 @@ def main(opts):
                 mesh.devices.size)
 
     shapes = common.shapes_from_opts(opts).replace(n_queries=1)
-    video_db = common.load_video_sub_dataset(opts, shapes)
+    if common.is_video_only_task(getattr(opts, "task", "tvr")):
+        video_db = common.load_video_only_dataset(opts, shapes)
+        train_vids = list(video_db.vids)
+    else:
+        video_db = common.load_video_sub_dataset(opts, shapes)
+        train_vids = list(video_db.txt_db.id2len.keys())
     query_db = QueryTokStore(opts.train_query_txt_db,
                              max_txt_len=opts.max_txt_len)
-    train_ds = VcmrDataset(list(video_db.txt_db.id2len.keys()), video_db,
+    train_ds = VcmrDataset(train_vids, video_db,
                            query_db, sampled_by_q=True, seed=opts.seed)
     LOGGER.info("train: %d queries over %d videos", len(train_ds),
                 len(video_db))

@@ -1,0 +1,155 @@
+"""Per-task pretraining validators (reference ``pretrain.py:387-608``):
+VSM losses, MLM accuracy, MFM-NCE accuracy, MFFR feature error, FOM
+accuracy — plus the reference's ex/tok/feat-per-second throughput logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.config.model_config import HeroConfig
+from hero_tpu.models import model as backbone
+from hero_tpu.models import pretrain as pretrain_lib
+from hero_tpu.models.pretrain import VsmConfig
+from hero_tpu.utils.logger import LOGGER
+
+
+def validate_pretrain(params, cfg: HeroConfig, vsm: VsmConfig,
+                      val_loaders: Dict[str, Iterable],
+                      dtype=jnp.bfloat16) -> Dict[str, float]:
+    """Run every task validator; returns a flat {task_metric: value} log."""
+    out: Dict[str, float] = {}
+    for task, loader in val_loaders.items():
+        LOGGER.info("validate on %s task", task)
+        if task.startswith("mlm"):
+            log = validate_mlm(params, cfg, loader, dtype)
+        elif task.startswith("mffr"):
+            log = validate_mfm(params, cfg, loader, "regression", dtype)
+        elif task.startswith("mfm"):
+            log = validate_mfm(params, cfg, loader, "nce", dtype)
+        elif task.startswith("fom"):
+            log = validate_fom(params, cfg, loader, dtype)
+        elif task.startswith("vsm"):
+            log = validate_vsm(params, cfg, vsm, loader, dtype)
+        else:
+            raise ValueError(task)
+        out.update({f"valid_{task}/{k}": v for k, v in log.items()})
+    return out
+
+
+def validate_vsm(params, cfg, vsm, loader, dtype=jnp.bfloat16):
+    fwd = jax.jit(lambda b: pretrain_lib.forward_vsm(
+        params, cfg, vsm, b, compute_loss=True, dtype=dtype))
+    t0 = time.time()
+    tot = {"st_ed": 0.0, "neg_ctx": 0.0, "neg_q": 0.0}
+    n_batches, n_ex = 0, 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        a, b_, c = fwd(jb)
+        tot["st_ed"] += float(a)
+        tot["neg_ctx"] += float(b_)
+        tot["neg_q"] += float(c)
+        n_batches += 1
+        n_ex += int(np.asarray(batch["q_mask"]).sum())
+    n = max(n_batches, 1)
+    loss = sum(tot.values()) / n
+    log = {"loss_overall": loss,
+           "loss_st_ed": tot["st_ed"] / n / max(vsm.lw_st_ed, 1e-8),
+           "loss_neg_ctx": tot["neg_ctx"] / n / max(vsm.lw_neg_ctx, 1e-8),
+           "loss_neg_q": tot["neg_q"] / n / max(vsm.lw_neg_q, 1e-8),
+           "ex_per_s": n_ex / max(time.time() - t0, 1e-6)}
+    LOGGER.info("vsm val loss: %.3f", loss)
+    return log
+
+
+def validate_mlm(params, cfg, loader, dtype=jnp.bfloat16):
+    fwd = jax.jit(lambda b: backbone.forward_mlm(
+        params["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    t0 = time.time()
+    loss_sum, n_correct, n_word = 0.0, 0, 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        logits = np.asarray(fwd(jb))                 # (N, M, V)
+        labels = np.asarray(batch["mlm_labels"]).reshape(logits.shape[0],
+                                                         -1)
+        valid = labels >= 0
+        pred = logits.argmax(-1)
+        n_correct += int(((pred == labels) & valid).sum())
+        n_word += int(valid.sum())
+        safe = np.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+        nll = -np.take_along_axis(np.asarray(logp), safe[..., None],
+                                  -1)[..., 0]
+        loss_sum += float((nll * valid).sum())
+    dt = max(time.time() - t0, 1e-6)
+    acc = n_correct / max(n_word, 1)
+    LOGGER.info("mlm val acc: %.4f", acc)
+    return {"loss": loss_sum / max(n_word, 1), "acc": acc,
+            "tok_per_s": n_word / dt}
+
+
+def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16):
+    t0 = time.time()
+    loss_sum, n_feat = 0.0, 0
+    n_correct = 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        if loss_kind == "regression":
+            s, n = backbone.forward_mfm(params["v_encoder"], cfg, jb,
+                                        loss="regression", dtype=dtype)
+            loss_sum += float(s)
+            n_feat += int(n)
+        else:
+            pred = np.asarray(backbone.forward_mfm(
+                params["v_encoder"], cfg, jb, loss="nce",
+                compute_loss=False, dtype=dtype))      # (B, F, vdim)
+            s, n = backbone.forward_mfm(params["v_encoder"], cfg, jb,
+                                        loss="nce", dtype=dtype)
+            loss_sum += float(s)
+            n_feat += int(n)
+            # NCE "accuracy": masked prediction closest to own target
+            mask = np.asarray(batch["c_v_masks"]) > 0
+            tgt = np.asarray(batch["c_v_feats"])
+            p = pred[mask]
+            t = tgt.reshape(-1, tgt.shape[-1])
+            scores = p @ t.T
+            own = np.flatnonzero(mask.reshape(-1))
+            n_correct += int((scores.argmax(1) == own).sum())
+    dt = max(time.time() - t0, 1e-6)
+    log = {"loss": loss_sum / max(n_feat, 1),
+           "feat_per_s": n_feat / dt}
+    if loss_kind == "nce":
+        log["acc"] = n_correct / max(n_feat, 1)
+    LOGGER.info("%s val loss: %.4f", loss_kind, log["loss"])
+    return log
+
+
+def validate_fom(params, cfg, loader, dtype=jnp.bfloat16):
+    fwd = jax.jit(lambda b: backbone.forward_fom(
+        params["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    t0 = time.time()
+    loss_sum, n_correct, n_frame = 0.0, 0, 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        logits = np.asarray(fwd(jb))                 # (B, F, 100)
+        targets = np.asarray(batch["fom_targets"])
+        valid = targets >= 0
+        pred = logits.argmax(-1)
+        n_correct += int(((pred == targets) & valid).sum())
+        n_frame += int(valid.sum())
+        s, n = backbone.forward_fom(params["v_encoder"], cfg, jb,
+                                    dtype=dtype)
+        loss_sum += float(s)
+    acc = n_correct / max(n_frame, 1)
+    LOGGER.info("fom val acc: %.4f", acc)
+    return {"loss": loss_sum / max(n_frame, 1), "acc": acc,
+            "frame_per_s": n_frame / max(time.time() - t0, 1e-6)}

@@ -164,3 +164,20 @@ def test_vr_driver(env):
     from hero_tpu.drivers import train_vr as drv
     drv.main(opts)
     assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+
+
+def test_vr_video_only_driver(env):
+    root, corpus, base = env
+    cfg = dict(base, output_dir=os.path.join(root, "vr_vonly_out"),
+               train_query_txt_db=corpus["query"],
+               val_query_txt_db=None,
+               sub_txt_db=None,
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0,
+               task="msrvtt_video_only",
+               max_vcmr_video=6, vcmr_eval_video_batch_size=3,
+               vcmr_eval_batch_size=6)
+    path = _write_cfg(root, "vr_vonly.json", cfg)
+    opts = opts_lib.get_vr_args(["--config", path])
+    from hero_tpu.drivers import train_vr as drv
+    drv.main(opts)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
