@@ -281,3 +281,28 @@ class QueryTokStore(TxtTokStore):
                     if line.strip():
                         item = json.loads(line)
                         self.query_data[str(item["desc_id"])] = item
+
+
+class ShardedVideoFeatStore:
+    """HowTo100M-style sharded feature dbs (reference vfeat_shards,
+    pretrain.py:45-57): several VideoFeatStore shards behind one lookup."""
+
+    def __init__(self, shard_dirs, frame_interval: float = 1.5,
+                 max_clip_len: int = -1):
+        self.shards = [VideoFeatStore(d, frame_interval=frame_interval,
+                                      max_clip_len=max_clip_len)
+                       for d in shard_dirs]
+        self.frame_interval = frame_interval
+        self.max_clip_len = max_clip_len
+        self.name2nframe = {}
+        self._vid2shard = {}
+        for s in self.shards:
+            self.name2nframe.update(s.name2nframe)
+            for vid in s.name2nframe:
+                self._vid2shard[vid] = s
+
+    def __contains__(self, vid):
+        return vid in self._vid2shard
+
+    def __getitem__(self, vid):
+        return self._vid2shard[vid][vid]

@@ -32,11 +32,53 @@ from hero_tpu.utils.misc import set_random_seed
 DEFAULT_TASKS = {"mlm": 2, "mfm-nce": 2, "fom": 1, "vsm": 2}
 
 
-def build_task_datasets(opts, video_db):
-    vids = list(video_db.txt_db.id2len.keys())
+def build_targets(opts):
+    """Multi-target pretraining (reference build_target_loaders,
+    pretrain.py:44-57): each target carries its own dbs (HowTo100M-style
+    ``vfeat_shards`` supported) and task ratios; loader names are
+    ``{task}@{target}``.  Falls back to the single-target opts schema."""
+    from hero_tpu.data.store import (ShardedVideoFeatStore, SubTokStore,
+                                     VideoFeatStore)
+    from hero_tpu.data.video import VideoFeatSubTokDataset
+
+    targets = getattr(opts, "targets", None)
+    if not targets:
+        shapes = common.shapes_from_opts(opts)
+        video_db = common.load_video_sub_dataset(opts, shapes)
+        return {"": video_db}, None
+    shapes = common.shapes_from_opts(opts)
+    out = {}
+    ratios = {}
+    tgt_ratios = getattr(opts, "targets_ratio", None) or [1] * len(targets)
+    for tgt, tr in zip(targets, tgt_ratios):
+        sub = SubTokStore(tgt["sub_txt_db"],
+                          max_clip_len=opts.max_clip_len)
+        interval = tgt.get("vfeat_interval", opts.vfeat_interval)
+        if "vfeat_shards" in tgt:
+            vfeat = ShardedVideoFeatStore(
+                tgt["vfeat_shards"], frame_interval=interval,
+                max_clip_len=opts.max_clip_len)
+        else:
+            vfeat = VideoFeatStore(tgt["vfeat_db"],
+                                   frame_interval=interval,
+                                   max_clip_len=opts.max_clip_len)
+        out[tgt["name"]] = VideoFeatSubTokDataset(
+            sub, vfeat, shapes, max_txt_len=opts.max_txt_len,
+            sub_ctx_len=opts.sub_ctx_len)
+        for task, r in tgt.get("tasks", DEFAULT_TASKS).items():
+            ratios[f"{task}@{tgt['name']}"] = r * tr
+    return out, ratios
+
+
+def build_task_datasets(opts, video_dbs, name_ratios=None):
     tasks = {}
-    ratios = getattr(opts, "task_ratios", None) or DEFAULT_TASKS
-    for task, ratio in ratios.items():
+    if name_ratios is None:
+        ratios = getattr(opts, "task_ratios", None) or DEFAULT_TASKS
+        name_ratios = {f"{t}@": r for t, r in ratios.items()}
+    for name, ratio in name_ratios.items():
+        task, _, tgt = name.partition("@")
+        video_db = video_dbs.get(tgt) or video_dbs[""]
+        vids = list(video_db.txt_db.id2len.keys())
         if task == "vsm":
             ds = pt.VsmDataset(vids, video_db,
                                query_per_video=getattr(
@@ -54,7 +96,7 @@ def build_task_datasets(opts, video_db):
             ds = pt.FomDataset(vids, video_db, seed=opts.seed)
         else:
             raise ValueError(task)
-        tasks[task] = (ds, ratio)
+        tasks[name.rstrip("@")] = (ds, ratio)
     return tasks
 
 
@@ -68,10 +110,9 @@ def main(opts):
     add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
     mesh = divisor_mesh(opts.train_batch_size)
 
-    shapes = common.shapes_from_opts(opts)
-    video_db = common.load_video_sub_dataset(opts, shapes)
-    task_datasets = build_task_datasets(opts, video_db)
-    LOGGER.info("pretraining on %d videos, tasks %s", len(video_db),
+    video_dbs, name_ratios = build_targets(opts)
+    task_datasets = build_task_datasets(opts, video_dbs, name_ratios)
+    LOGGER.info("pretraining targets %s, tasks %s", list(video_dbs),
                 {t: r for t, (_, r) in task_datasets.items()})
 
     cfg = common.model_config_from_opts(opts)
@@ -112,9 +153,9 @@ def main(opts):
                      adamw=AdamWConfig(beta1=opts.betas[0],
                                        beta2=opts.betas[1],
                                        weight_decay=opts.weight_decay))
-    step_fns = {t: make_sharded_train_step(make_loss(t), spec, mesh,
-                                           accum_steps=accum)
-                for t in task_datasets}
+    step_fns = {t: make_sharded_train_step(
+        make_loss(t.partition("@")[0]), spec, mesh, accum_steps=accum)
+        for t in task_datasets}
     state = shard_state(TrainState.create(params), mesh)
     restorer = TrainingRestorer(opts.output_dir,
                                 {"num_train_steps": opts.num_train_steps,

@@ -181,3 +181,28 @@ def test_vr_video_only_driver(env):
     from hero_tpu.drivers import train_vr as drv
     drv.main(opts)
     assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+
+
+def test_pretrain_multi_target(env, tmp_path_factory):
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("tgt2"))
+    corpus2 = build_synthetic_corpus(root2, n_videos=4,
+                                     max_frames=MAX_FRAMES, vfeat_dim=64,
+                                     seed=9)
+    cfg = dict(base, output_dir=os.path.join(root, "pretrain_mt_out"),
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0.01,
+               query_per_video=2, num_train_steps=4, valid_steps=100,
+               targets=[
+                   {"name": "tv", "sub_txt_db": corpus["sub"],
+                    "vfeat_db": corpus["vfeat"],
+                    "tasks": {"mlm": 2, "vsm": 2}},
+                   {"name": "ht", "sub_txt_db": corpus2["sub"],
+                    "vfeat_shards": [corpus2["vfeat"]],
+                    "tasks": {"fom": 1}},
+               ],
+               targets_ratio=[2, 1])
+    path = _write_cfg(root, "pretrain_mt.json", cfg)
+    opts = opts_lib.get_pretrain_args(["--config", path])
+    from hero_tpu.drivers import pretrain as drv
+    drv.main(opts)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
