@@ -189,6 +189,13 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     import jax.numpy as _jnp
     import numpy as _np
     from hero_tpu.parallel.mesh import is_primary, shard_task_batch
+    from hero_tpu.utils.logger import NoOp, RunningMeter, ScalarWriter
+
+    if is_primary() and getattr(opts, "output_dir", None):
+        writer = ScalarWriter(os.path.join(opts.output_dir, "log"))
+    else:
+        writer = NoOp()
+    meters: Dict[str, RunningMeter] = {}
 
     accum = max(getattr(opts, "gradient_accumulation_steps", 1), 1)
     rng = _jax.random.PRNGKey(opts.seed + 1)
@@ -223,10 +230,20 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
         first = next(iter(mbs[0].values()))
         n_ex += int(np.asarray(first).shape[0]) * accum
         if global_step % log_every == 0:
-            loss = float(_jax.device_get(metrics["loss"]))
+            host_metrics = _jax.device_get(metrics)
+            loss = float(host_metrics["loss"])
+            meters.setdefault(f"loss/{task}",
+                              RunningMeter(f"loss/{task}"))(loss)
             dt = max(_time.time() - t0, 1e-6)
             LOGGER.info("step %d [%s]: loss=%.4f  %.1f ex/s", global_step,
                         task, loss, n_ex / dt)
+            writer.log_scalar_dict(
+                {k: float(v) for k, v in host_metrics.items()
+                 if getattr(v, "ndim", 1) == 0},
+                step=global_step)
+            writer.add_scalar(f"smooth_loss/{task}",
+                              meters[f"loss/{task}"].val, global_step)
+            writer.add_scalar("perf/ex_per_s", n_ex / dt, global_step)
             t0, n_ex = _time.time(), 0
         if (validate_fn is not None
                 and global_step % opts.valid_steps == 0 and is_primary()):

@@ -96,13 +96,33 @@ def main(opts):
         with open(path, "w") as f:
             for rec in gen:
                 f.write(json.dumps(rec) + "\n")
-        LOGGER.info("[step %d] wrote %d captions to %s", step, len(gen),
-                    path)
+        scores = score_token_captions(gen, cap_db)
+        LOGGER.info("[step %d] wrote %d captions to %s — %s", step,
+                    len(gen), path, scores)
 
     common.run_training(opts, mesh, step_fn, state,
                         PrefetchLoader(batches(), device_put=lambda b: b),
                         validate_fn=validate, saver=saver,
                         restorer=restorer)
+
+
+def score_token_captions(gen, cap_db):
+    """BLEU-4/ROUGE-L/CIDEr over token-id sequences (the reference scores
+    detokenized text via TVCEval, eval/tvc.py — token-level scoring is an
+    equivalent training-time monitor; inf_tvc does the detokenized scoring
+    when a reference jsonl + tokenizer are available)."""
+    from hero_tpu.evaluation import caption_metrics as cm
+    gts, res = {}, {}
+    for rec in gen:
+        cid = str(rec["clip_id"])
+        gt = cap_db[cid]
+        gts[cid] = [[str(t) for t in gt["input_ids"][1:]]]  # drop BOS
+        res[cid] = [str(t) for t in rec["descs"][0]["desc_token_ids"]]
+    if not res:
+        return {}
+    return {"Bleu@4": round(cm.bleu(gts, res)[3], 4),
+            "ROUGE-L": round(cm.rouge_l(gts, res), 4),
+            "CIDEr": round(cm.cider_d(gts, res), 4)}
 
 
 def generate_captions(params, cfg, dataset, opts, n_batches: int = 4):
