@@ -61,8 +61,12 @@ def build_eval_inputs(video_db, query_db, opts):
             items = [video_db.video_item(v) for v in video_ids[s:s + bs]]
             yield stack_items(items)
 
-    full_eval = VcmrFullEvalDataset(list(query_db.id2len.keys()), query_db,
-                                    video_db.shapes)
+    import jax as _jax
+    distributed = bool(getattr(opts, "distributed_eval", False))
+    full_eval = VcmrFullEvalDataset(
+        list(query_db.id2len.keys()), query_db, video_db.shapes,
+        distributed=distributed, rank=_jax.process_index(),
+        world_size=_jax.process_count())
     query_batches = full_eval.batches(
         getattr(opts, "vcmr_eval_batch_size", 80))
     return (video_batches(), query_batches, video_ids, video2idx_global,

@@ -154,3 +154,25 @@ def linear_layer(p: Params, x: jax.Array, *, relu: bool = True,
 def mask_logits(logits: jax.Array, mask: jax.Array) -> jax.Array:
     """reference modeling_utils.py:42-43: inputs + (1 - mask) * -1e4."""
     return logits + (1.0 - mask.astype(logits.dtype)) * MASK_VAL
+
+
+def prune_attention_heads(attn_params: Params, heads, n_heads: int
+                          ) -> Params:
+    """Remove attention heads from a q/k/v/out block (reference
+    prune_heads + prune_linear_layer, model/layers.py:189-216,
+    modeling_utils.py:14-39).  Returns new params with kernels narrowed;
+    callers must also shrink ``num_attention_heads`` in the config."""
+    import numpy as np
+
+    d_model = attn_params["query"]["kernel"].shape[0]
+    head_dim = attn_params["query"]["kernel"].shape[1] // n_heads
+    keep = [h for h in range(n_heads) if h not in set(heads)]
+    cols = np.concatenate([np.arange(h * head_dim, (h + 1) * head_dim)
+                           for h in keep])
+    out = {k: dict(v) if isinstance(v, dict) else v
+           for k, v in attn_params.items()}
+    for name in ("query", "key", "value"):
+        out[name]["kernel"] = attn_params[name]["kernel"][:, cols]
+        out[name]["bias"] = attn_params[name]["bias"][cols]
+    out["out"]["kernel"] = attn_params["out"]["kernel"][cols, :]
+    return out

@@ -172,7 +172,9 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
         return h, None
 
     if remat and train:
-        body = jax.checkpoint(body, prevent_cse=False)
+        body = jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     x, _ = jax.lax.scan(body, x, (p["layers"], keys), unroll=UNROLL)
     return x
 

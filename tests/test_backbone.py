@@ -132,3 +132,24 @@ def test_dropout_train_mode(cfg, params):
                                  rng=jax.random.PRNGKey(4), train=True)
     # different dropout keys → different outputs
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_prune_attention_heads(cfg):
+    from hero_tpu.models import nn, transformer
+    import jax.numpy as jnp
+    tcfg = cfg.f_config
+    p = transformer.init_attention(jax.random.PRNGKey(0), tcfg)
+    H = tcfg.num_attention_heads
+    pruned = nn.prune_attention_heads(p, [0], H)
+    d_head = tcfg.hidden_size // H
+    assert pruned["query"]["kernel"].shape == (
+        tcfg.hidden_size, tcfg.hidden_size - d_head)
+    assert pruned["out"]["kernel"].shape == (
+        tcfg.hidden_size - d_head, tcfg.hidden_size)
+    # pruned block still runs with a reduced-head config
+    small = tcfg.replace(num_attention_heads=H - 1,
+                         hidden_size=tcfg.hidden_size)
+    x = jnp.ones((2, 5, tcfg.hidden_size))
+    # manual apply: q/k/v with narrowed kernels
+    q = nn.linear(pruned["query"], x)
+    assert q.shape == (2, 5, tcfg.hidden_size - d_head)
