@@ -122,3 +122,55 @@ def host_allgather(obj: Any) -> list:
     gathered = multihost_utils.process_allgather(buf)
     return [pickle.loads(gathered[i, :int(all_n[i])].tobytes())
             for i in range(jax.process_count())]
+
+
+MODEL_AXIS = "model"
+
+
+def get_2d_mesh(n_data: int, n_model: int,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(data, model) mesh for DP×TP — a capability beyond the reference's
+    DP-only design (SURVEY §2.7); XLA inserts the TP collectives from the
+    param shardings in :func:`tp_param_spec`."""
+    if devices is None:
+        devices = jax.devices()
+    assert n_data * n_model <= len(devices)
+    arr = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def tp_param_spec(params: Any) -> Any:
+    """PartitionSpecs sharding the transformer weights over 'model':
+
+    - qkv / FFN-up kernels: output dim sharded (head- / neuron-parallel)
+    - attention-out / FFN-down kernels: input dim sharded
+    - everything else replicated (XLA all-reduces the partial sums)
+
+    Works for both stacked (leading layer axis) and flat kernels.
+    """
+    import jax.tree_util as jtu
+
+    def spec_for(path, leaf) -> P:
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        nd = getattr(leaf, "ndim", 0)
+        joined = "/".join(keys)
+        def kern(axis_from_end):
+            pspec = [None] * nd
+            pspec[nd - 1 - axis_from_end] = MODEL_AXIS
+            return P(*pspec)
+        if keys and keys[-1] == "kernel" and nd >= 2:
+            if any(t in joined for t in ("query", "key", "value",
+                                         "intermediate")):
+                return kern(0)      # shard output dim
+            if any(t in joined for t in ("attention/out", "ffn/output")) \
+                    or (len(keys) >= 3 and keys[-2] == "out") \
+                    or (len(keys) >= 3 and keys[-2] == "output"
+                        and "ffn" in joined):
+                return kern(1)      # shard input dim
+        if keys and keys[-1] == "bias" and nd >= 1:
+            if any(t in joined for t in ("query", "key", "value",
+                                         "intermediate")):
+                return kern(0)
+        return P()
+
+    return jtu.tree_map_with_path(spec_for, params)

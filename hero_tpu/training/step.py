@@ -110,18 +110,38 @@ def make_train_step(loss_fn: Callable, spec: TrainSpec,
 
 
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Replicate train state over the mesh."""
+    """Replicate train state over the mesh; if the mesh carries a 'model'
+    axis, tensor-parallel-shard the transformer weights (and their AdamW
+    moments) per :func:`hero_tpu.parallel.mesh.tp_param_spec`."""
+    if "model" in mesh.axis_names:
+        from hero_tpu.parallel.mesh import tp_param_spec
+        spec = tp_param_spec(state.params)
+        put = lambda tree: jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec)
+        return TrainState(
+            params=put(state.params),
+            opt=type(state.opt)(
+                step=jax.device_put(state.opt.step,
+                                    NamedSharding(mesh, P())),
+                mu=put(state.opt.mu), nu=put(state.opt.nu)),
+            global_step=jax.device_put(state.global_step,
+                                       NamedSharding(mesh, P())))
     rep = NamedSharding(mesh, P())
     return jax.device_put(state, rep)
 
 
 def make_sharded_train_step(loss_fn: Callable, spec: TrainSpec, mesh: Mesh,
-                            *, accum_steps: int = 1):
+                            *, accum_steps: int = 1, donate: bool = True):
     """As :func:`make_train_step` but with explicit sharding constraints:
     replicated state, batch sharded on the data axis (dim 0 of every array,
     after the accum axis if present)."""
     rep = NamedSharding(mesh, P())
     step = _build_step(loss_fn, spec, accum_steps)
     # batch sharding is taken from the inputs (see mesh.shard_task_batch:
-    # per-key data/replicated placement), state/metrics stay replicated
-    return jax.jit(step, out_shardings=(rep, rep), donate_argnums=(0,))
+    # per-key data/replicated placement); state keeps its input sharding
+    # (replicated, or TP-sharded via shard_state on a 2-D mesh)
+    dn = (0,) if donate else ()
+    if "model" in mesh.axis_names:
+        return jax.jit(step, out_shardings=(None, rep), donate_argnums=dn)
+    return jax.jit(step, out_shardings=(rep, rep), donate_argnums=dn)

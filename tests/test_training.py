@@ -165,3 +165,48 @@ def test_model_saver_roundtrip(tmp_path):
     loaded = save_lib.load_params(path)
     np.testing.assert_array_equal(loaded["a"]["b"],
                                   np.asarray(params["a"]["b"]))
+
+
+def test_tensor_parallel_train_step():
+    """DP×TP on a 2x4 virtual mesh: the sharded step compiles, runs, and
+    matches the replicated step numerically."""
+    from hero_tpu.parallel.mesh import get_2d_mesh, shard_task_batch
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(5), cfg)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+
+    def loss_fn(p, batch, rng):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                       train=False)
+        return a + b + c, {}
+
+    batch_np = {k: np.asarray(v) for k, v in tiny_batch(cfg, B=2).items()}
+
+    mesh2d = get_2d_mesh(2, 4)
+    step_tp = make_sharded_train_step(loss_fn, spec, mesh2d, donate=False)
+    state_tp = shard_state(TrainState.create(params), mesh2d)
+    # verify weights really are sharded over the model axis
+    k = state_tp.params["v_encoder"]["f_encoder"]["encoder"]["layers"][
+        "ffn"]["intermediate"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+    b_tp = shard_task_batch(batch_np, mesh2d)
+    state_tp, m_tp = step_tp(state_tp, b_tp,
+                             jax.random.PRNGKey(0))
+
+    from hero_tpu.parallel.mesh import get_mesh
+    mesh1d = get_mesh(2)
+    step_dp = make_sharded_train_step(loss_fn, spec, mesh1d, donate=False)
+    state_dp = shard_state(TrainState.create(params), mesh1d)
+    b_dp = shard_task_batch(batch_np, mesh1d)
+    state_dp, m_dp = step_dp(state_dp, b_dp, jax.random.PRNGKey(0))
+
+    assert float(m_tp["loss"]) == pytest.approx(float(m_dp["loss"]),
+                                                rel=2e-4)
+    # params after one step agree
+    a = jax.device_get(state_tp.params["head"]["video_query_linear"]
+                       ["kernel"])
+    b = jax.device_get(state_dp.params["head"]["video_query_linear"]
+                       ["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
