@@ -127,3 +127,20 @@ def test_restore_resumes(env):
     params = pl.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
     state = restorer.restore(TrainState.create(params))
     assert int(state.global_step) == exp["num_train_steps"]
+
+
+def test_eval_vcmr_standalone(env):
+    """Standalone serve-path inference reloading hps.json + ckpt."""
+    root, cfg_path, exp = env
+    from hero_tpu.drivers import eval_vcmr
+    out = exp["output_dir"]
+    import os
+    ckpts = sorted(f for f in os.listdir(os.path.join(out, "ckpt")))
+    step = ckpts[-1].replace("model_step_", "").replace(".npz", "")
+    args = eval_vcmr.build_argparser().parse_args(
+        ["--output_dir", out, "--checkpoint", step,
+         "--query_txt_db", exp["val_query_txt_db"], "--split", "test"])
+    metrics, submission = eval_vcmr.main(args)
+    assert metrics and "VCMR" in metrics
+    assert os.path.exists(os.path.join(
+        out, f"results_{step}_test_all.json"))
