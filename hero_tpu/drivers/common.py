@@ -224,8 +224,17 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
             stacked.update(extras)
         sharded = shard_task_batch(stacked, mesh, accum)
         fn = step_fn[task] if isinstance(step_fn, dict) else step_fn
-        state, metrics = fn(state, sharded,
-                            _jax.random.fold_in(rng, global_step))
+        profile_at = getattr(opts, "profile_step", -1)
+        if profile_at == global_step and is_primary():
+            # jax.profiler trace of one step (SURVEY §5.1 parity+)
+            with _jax.profiler.trace(os.path.join(opts.output_dir,
+                                                  "trace")):
+                state, metrics = fn(state, sharded,
+                                    _jax.random.fold_in(rng, global_step))
+                _jax.block_until_ready(metrics)
+        else:
+            state, metrics = fn(state, sharded,
+                                _jax.random.fold_in(rng, global_step))
         global_step += 1
         first = next(iter(mbs[0].values()))
         n_ex += int(np.asarray(first).shape[0]) * accum

@@ -153,3 +153,16 @@ def clip_by_global_norm(grads, max_norm: float):
                         for g in leaves))
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
     return jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads), norm
+
+
+def vqa_schedule(step, warmup_interval: int, decay_interval: int,
+                 decay_start: int, decay_rate: float):
+    """MCAN-style VQA step schedule (reference sched.py:27-40)."""
+    step = jnp.asarray(step, jnp.float32)
+    num_decay = jnp.ceil((step - decay_start) / decay_interval)
+    return jnp.where(
+        step < warmup_interval, 0.25,
+        jnp.where(step < 2 * warmup_interval, 0.5,
+                  jnp.where(step < 3 * warmup_interval, 0.75,
+                            jnp.where(step >= decay_start,
+                                      decay_rate ** num_decay, 1.0))))
