@@ -68,6 +68,8 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.01, type=float)
     p.add_argument("--grad_norm", default=2.0, type=float)
     p.add_argument("--warmup_steps", default=4000, type=int)
+    p.add_argument("--lr_sched", default="warmup_linear",
+                   choices=["warmup_linear", "noam", "vqa"])
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--fp16", action="store_true",
                    help="accepted for config compatibility; hero_tpu "

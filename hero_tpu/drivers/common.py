@@ -200,12 +200,11 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     accum = max(getattr(opts, "gradient_accumulation_steps", 1), 1)
     rng = _jax.random.PRNGKey(opts.seed + 1)
     global_step = int(_jax.device_get(state.global_step))
+    profile_at = (getattr(opts, "profile_step", -1)
+                  if getattr(opts, "output_dir", None) else -1)
     t0, n_ex = _time.time(), 0
     micro = []
-    task0 = None
     for task, batch in batch_iter:
-        if task0 is None:
-            task0 = task
         micro.append((task, batch))
         if len(micro) < accum:
             continue
@@ -224,17 +223,16 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
             stacked.update(extras)
         sharded = shard_task_batch(stacked, mesh, accum)
         fn = step_fn[task] if isinstance(step_fn, dict) else step_fn
-        profile_at = getattr(opts, "profile_step", -1)
-        if profile_at == global_step and is_primary():
-            # jax.profiler trace of one step (SURVEY §5.1 parity+)
-            with _jax.profiler.trace(os.path.join(opts.output_dir,
-                                                  "trace")):
-                state, metrics = fn(state, sharded,
-                                    _jax.random.fold_in(rng, global_step))
-                _jax.block_until_ready(metrics)
-        else:
+        import contextlib
+        profiling = profile_at == global_step and is_primary()
+        ctx = (_jax.profiler.trace(os.path.join(opts.output_dir, "trace"))
+               if profiling else contextlib.nullcontext())
+        with ctx:  # jax.profiler trace of one step (SURVEY §5.1 parity+)
             state, metrics = fn(state, sharded,
                                 _jax.random.fold_in(rng, global_step))
+            if profiling:
+                # tunneled backends only sync on a value fetch
+                float(_jax.device_get(metrics["loss"]))
         global_step += 1
         first = next(iter(mbs[0].values()))
         n_ex += int(np.asarray(first).shape[0]) * accum

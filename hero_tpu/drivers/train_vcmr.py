@@ -124,6 +124,8 @@ def main(opts):
                      warmup_steps=opts.warmup_steps,
                      num_train_steps=opts.num_train_steps,
                      grad_norm=opts.grad_norm,
+                     lr_schedule=getattr(opts, "lr_sched",
+                                         "warmup_linear"),
                      adamw=AdamWConfig(beta1=opts.betas[0],
                                        beta2=opts.betas[1],
                                        weight_decay=opts.weight_decay,

@@ -48,10 +48,17 @@ def noam_schedule(step, warmup_step: int = 4000):
 
 
 def get_lr(step, learning_rate: float, warmup_steps: int,
-           num_train_steps: int):
-    """reference get_lr_sched (sched.py:43-49) incl. the 1e-8 floor."""
-    lr = learning_rate * warmup_linear(step, warmup_steps, num_train_steps)
-    return jnp.maximum(lr, 1e-8)
+           num_train_steps: int, schedule: str = "warmup_linear"):
+    """reference get_lr_sched (sched.py:43-49) incl. the 1e-8 floor;
+    schedule ∈ {warmup_linear, noam, vqa}."""
+    if schedule == "noam":
+        mult = noam_schedule(step, warmup_steps)
+    elif schedule == "vqa":
+        mult = vqa_schedule(step, warmup_steps, warmup_steps,
+                            num_train_steps // 2, 0.5)
+    else:
+        mult = warmup_linear(step, warmup_steps, num_train_steps)
+    return jnp.maximum(learning_rate * mult, 1e-8)
 
 
 # ---------------------------------------------------------------------------

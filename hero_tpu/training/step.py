@@ -48,6 +48,7 @@ class TrainSpec:
     num_train_steps: int = 100000
     grad_norm: float = 2.0          # -1 disables clipping
     adamw: AdamWConfig = AdamWConfig()
+    lr_schedule: str = "warmup_linear"   # | "noam" | "vqa"
 
 
 def _build_step(loss_fn: Callable, spec: TrainSpec, accum_steps: int):
@@ -79,7 +80,8 @@ def _build_step(loss_fn: Callable, spec: TrainSpec, accum_steps: int):
 
         new_step = state.global_step + 1
         lr = optim_lib.get_lr(new_step, spec.learning_rate,
-                              spec.warmup_steps, spec.num_train_steps)
+                              spec.warmup_steps, spec.num_train_steps,
+                              schedule=spec.lr_schedule)
         if spec.grad_norm > 0:
             grads, gnorm = optim_lib.clip_by_global_norm(grads,
                                                          spec.grad_norm)
