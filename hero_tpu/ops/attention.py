@@ -266,8 +266,11 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                              causal)
 
     # Pad sequence dims to lane-aligned multiples; padded keys get mask=0.
-    Lq_p = _round_up(max(Lq, 8), 128)
-    Lk_p = _round_up(max(Lk, 8), 128)
+    # 64 is legal because the kernel's block dims equal the array dims
+    # (Mosaic full-dim rule); it quarters the score-tile waste at HERO's
+    # ~56-token sequences vs padding to 128.
+    Lq_p = _round_up(max(Lq, 8), 64)
+    Lk_p = _round_up(max(Lk, 8), 64)
     pad_q = Lq_p - Lq
     pad_k = Lk_p - Lk
     if pad_q or pad_k:
