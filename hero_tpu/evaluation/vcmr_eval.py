@@ -18,6 +18,7 @@ Re-design of reference ``eval_vcmr.py:143-515`` (and ``eval_vr.py``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -75,8 +76,10 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     band = jnp.asarray(tvr_metrics.generate_min_max_length_mask(
         (1, 1, L, L), opts.min_pred_l, opts.max_pred_l))
 
-    @jax.jit
-    def score(q_ids, q_masks):
+    # corpus tensors and params enter as jit ARGUMENTS — closing over them
+    # would bake hundreds of MB of constants into the compiled program
+    @functools.partial(jax.jit, static_argnames=())
+    def _score(params, frame_embs, frame_masks, q_ids, q_masks):
         scores, st, ed = vcmr_lib.get_pred_from_raw_query(
             params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
             cross=True, dtype=dtype)
@@ -88,11 +91,24 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
         ed_sel = jnp.take_along_axis(ed_p, top_idx[..., None], axis=1)
         cube = jnp.einsum("qvm,qv,qvn->qvmn", st_sel, top_scores, ed_sel)
         cube = cube * band            # band is (1, 1, L, L)
-        flat = cube.reshape(cube.shape[0], -1)
-        k = min(opts.max_before_nms, flat.shape[1])
-        flat_scores, flat_idx = jax.lax.top_k(flat, k)
+        # exact two-level top-k: per-video top-k then across videos —
+        # a global top_k over max_v·L² (~1e6) elements compiles and runs
+        # far slower than this decomposition
+        nq = cube.shape[0]
+        per_v = cube.reshape(nq, max_v, -1)           # (Nq, max_v, L·L)
+        k = min(opts.max_before_nms, per_v.shape[1] * per_v.shape[2])
+        k1 = min(k, per_v.shape[2])
+        sc1, idx1 = jax.lax.top_k(per_v, k1)          # (Nq, max_v, k1)
+        sc2, idx2 = jax.lax.top_k(sc1.reshape(nq, -1), k)
+        vid = idx2 // k1                              # (Nq, k)
+        pos = jnp.take_along_axis(
+            idx1.reshape(nq, -1), vid * k1 + idx2 % k1, axis=1)
+        flat_idx = vid * per_v.shape[2] + pos
         return (scores.astype(jnp.float32), st_p, ed_p, top_scores,
-                top_idx, flat_scores, flat_idx)
+                top_idx, sc2, flat_idx)
+
+    def score(q_ids, q_masks):
+        return _score(params, frame_embs, frame_masks, q_ids, q_masks)
 
     return score, max_v
 
