@@ -54,13 +54,14 @@ def embed_video_corpus(params, cfg: HeroConfig,
                        max_clip_len: int, dtype=jnp.bfloat16
                        ) -> Tuple[jax.Array, jax.Array]:
     """Phase 1: (Nv, max_clip_len, D) frame embeddings + masks."""
-    encode = jax.jit(lambda b: (
-        vcmr_lib.encode_video_corpus(params, cfg, b, dtype=dtype),
+    # params as a jit argument (not a closure constant — see phase 2)
+    encode = jax.jit(lambda p, b: (
+        vcmr_lib.encode_video_corpus(p, cfg, b, dtype=dtype),
         b["c_attn_masks"]))
     embs, masks = [], []
     for batch in video_batches:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        e, m = encode(jb)
+        e, m = encode(params, jb)
         embs.append(e)
         masks.append(m)
     return jnp.concatenate(embs, 0), jnp.concatenate(masks, 0)
