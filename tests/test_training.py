@@ -210,3 +210,29 @@ def test_tensor_parallel_train_step():
     b = jax.device_get(state_dp.params["head"]["video_query_linear"]
                        ["kernel"])
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_vsm_global_batch_semantics_under_sharding():
+    """The VSM in-batch negative pool must be the GLOBAL batch: computing
+    the loss on a batch sharded over 8 devices must equal the same batch
+    on 1 device (this is what replaces the reference's differentiable
+    Horovod allgather, model/pretrain.py:427-451)."""
+    from hero_tpu.parallel.mesh import get_mesh, shard_task_batch
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(9), cfg)
+    batch = {k: np.asarray(v) for k, v in tiny_batch(cfg, B=8).items()}
+
+    def loss(p, b):
+        a, x, y = pretrain.forward_vsm(p, cfg, vsm, b)
+        return jnp.stack([a, x, y])
+
+    single = jax.jit(loss)(params, {k: jnp.asarray(v)
+                                    for k, v in batch.items()})
+    mesh = get_mesh(8)
+    sharded_batch = shard_task_batch(batch, mesh)
+    rep = jax.device_put(params, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    sharded = jax.jit(loss)(rep, sharded_batch)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=1e-4, atol=1e-5)
