@@ -191,3 +191,22 @@ def test_meta_loader_and_prefetch(video_db):
     pf = PrefetchLoader(zip(["x"] * 3, ({"a": np.ones(2)},) * 3))
     out = list(pf)
     assert len(out) == 3 and out[0][0] == "x"
+
+
+def test_load_data_facade(corpus):
+    from hero_tpu.data import load_data as ld
+    shapes = SHAPES
+    db = ld.load_video_sub_dataset(corpus["vfeat"], corpus["sub"], shapes,
+                                   max_clip_len=MAX_FRAMES,
+                                   max_txt_len=10)
+    assert ld.get_video_ids(db.txt_db) == corpus["vids"]
+    ds = ld.build_downstream_dataset("tvr", db, corpus["query"])
+    assert len(ds) > 0 and ds[0]["targets"].shape == (1, 2)
+    vonly = ld.load_video_only_dataset(corpus["vfeat"], None, shapes,
+                                       max_clip_len=MAX_FRAMES)
+    item = vonly.video_item(corpus["vids"][0])
+    assert item["sub_mask"][0] == 1.0
+    qa = ld.build_downstream_dataset("tvqa", db, corpus["qa_query"])
+    assert len(qa) == 6
+    vl = ld.build_downstream_dataset("violin", db, corpus["violin_query"])
+    assert len(vl) == 6

@@ -206,3 +206,20 @@ def test_pretrain_multi_target(env, tmp_path_factory):
     from hero_tpu.drivers import pretrain as drv
     drv.main(opts)
     assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+
+
+def test_eval_vr_standalone(env):
+    root, corpus, base = env
+    out = os.path.join(root, "vr_out")
+    if not os.path.exists(os.path.join(out, "ckpt")):
+        pytest.skip("vr driver test must run first")
+    from hero_tpu.drivers import eval_vr, eval_vcmr
+    ckpts = sorted(os.listdir(os.path.join(out, "ckpt")))
+    step = ckpts[-1].replace("model_step_", "").replace(".npz", "")
+    args = eval_vcmr.build_argparser().parse_args(
+        ["--output_dir", out, "--checkpoint", step,
+         "--query_txt_db", corpus["query"]])
+    metrics, submission = eval_vr.main(args)
+    assert set(submission) >= {"video2idx", "VR"}
+    assert "VCMR" not in submission
+    assert metrics and "VR" in metrics
