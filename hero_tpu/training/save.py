@@ -85,15 +85,23 @@ def save_training_meta(output_dir: str, hps: Dict[str, Any],
     with open(os.path.join(output_dir, "log", "model_config.json"),
               "w") as f:
         json.dump(model_config, f, indent=4)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         sha = subprocess.check_output(
             ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL,
-            cwd=os.path.dirname(os.path.abspath(__file__))).decode().strip()
+            cwd=pkg_root).decode().strip()
         with open(os.path.join(output_dir, "log", "git_info.json"),
                   "w") as f:
             json.dump({"git_sha": sha}, f)
-    except Exception:  # git unavailable — non-fatal provenance loss
-        pass
+    except Exception:
+        # git unavailable → zip the codebase instead (reference
+        # save_training_meta fallback, utils/save.py:51-66)
+        try:
+            from hero_tpu.utils.basic_utils import make_zipfile
+            make_zipfile(pkg_root,
+                         os.path.join(output_dir, "log", "code.zip"))
+        except Exception:
+            pass
 
 
 class TrainingRestorer:
