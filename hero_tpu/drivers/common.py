@@ -253,18 +253,22 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
             writer.add_scalar("perf/ex_per_s", n_ex / dt, global_step)
             t0, n_ex = _time.time(), 0
         if (validate_fn is not None
-                and global_step % opts.valid_steps == 0 and is_primary()):
+                and global_step % opts.valid_steps == 0):
+            # ALL processes must enter validation: distributed eval shards
+            # queries per process and merges metrics via host_allgather, a
+            # collective every process must reach (reference
+            # eval_vcmr.py:125-140).  validate_fn gates its own file
+            # writes/logging on is_primary().
             validate_fn(state, global_step)
-            if saver is not None:
+            if saver is not None and is_primary():
                 saver.save(jax.device_get(state.params), global_step)
         if restorer is not None:
-            restorer.step(state, opts.save_steps)
+            restorer.step(state, opts.save_steps, global_step=global_step)
         if global_step >= opts.num_train_steps:
             break
-    if is_primary():
-        if saver is not None:
-            saver.save(jax.device_get(state.params), global_step)
-        if validate_fn is not None:
-            validate_fn(state, global_step)
+    if saver is not None and is_primary():
+        saver.save(jax.device_get(state.params), global_step)
+    if validate_fn is not None:
+        validate_fn(state, global_step)
     LOGGER.info("training done at step %d", global_step)
     return state

@@ -92,6 +92,9 @@ def main(opts):
                           if not k.startswith("__")}
 
     def validate(state, step):
+        from hero_tpu.parallel.mesh import is_primary
+        if not is_primary():
+            return  # caption generation has no collectives; write is rank-0
         gen = generate_captions(jax.device_get(state.params), cfg,
                                 train_ds, opts)
         path = os.path.join(opts.output_dir, f"tvc_gen_{step}.jsonl")

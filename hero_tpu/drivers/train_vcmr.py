@@ -178,15 +178,18 @@ def main(opts):
             LOGGER.info("step %d: loss=%.4f  %.1f ex/s", global_step,
                         loss, n_ex / dt)
             t0, n_ex = time.time(), 0
-        if global_step % opts.valid_steps == 0 and is_primary():
+        if global_step % opts.valid_steps == 0:
+            # every process enters validation (host_allgather inside merges
+            # per-process query shards); writes are rank-0-gated inside
             run_validation(state, cfg, vsm, video_db, opts, global_step)
-            saver.save(jax.device_get(state.params), global_step)
-        restorer.step(state, opts.save_steps)
+            if is_primary():
+                saver.save(jax.device_get(state.params), global_step)
+        restorer.step(state, opts.save_steps, global_step=global_step)
         if global_step >= opts.num_train_steps:
             break
     if is_primary():
         saver.save(jax.device_get(state.params), global_step)
-        run_validation(state, cfg, vsm, video_db, opts, global_step)
+    run_validation(state, cfg, vsm, video_db, opts, global_step)
     LOGGER.info("training done at step %d", global_step)
 
 
@@ -200,6 +203,8 @@ def run_validation(state, cfg, vsm, video_db, opts, step):
     val_log, submission, metrics = validate_full_vcmr(
         jax.device_get(state.params), cfg, vsm, common.eval_opts_from(opts),
         vb, qb, video_ids, v2i_global, qdata)
+    if not is_primary():
+        return  # collectives above ran on every process; writes are rank-0
     if metrics:
         for task, m in metrics.items():
             LOGGER.info("[step %d] %s: %s", step, task,

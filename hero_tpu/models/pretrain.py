@@ -183,7 +183,7 @@ def ranking_loss(pos: jax.Array, neg: jax.Array, loss_type: str,
 
 def video_level_loss(scores: jax.Array, q_mask: jax.Array, num_q_per_v: int,
                      vsm: VsmConfig, *, use_hard_negative,
-                     hard_pool_size, hard_neg_weight
+                     hard_pool_size, hard_neg_weight, rng=None
                      ) -> Tuple[jax.Array, jax.Array]:
     """In-batch ranking losses over (Nq, Nv) scores
     (reference get_video_level_loss, model/pretrain.py:203-292).
@@ -192,9 +192,17 @@ def video_level_loss(scores: jax.Array, q_mask: jax.Array, num_q_per_v: int,
     video).  Hard-negative weighting is applied over *sorted* negative
     columns, matching the reference.  ``q_mask`` (Nq,): padded queries drop
     out of all means; hard-negative params are traced so curricula don't
-    recompile.
+    recompile.  ``use_all_neg=False`` selects the sampled-negative branch
+    (reference get_sampled_neg_scores, model/pretrain.py:296-318), which
+    needs ``rng``.
     """
     nq, nv = scores.shape
+    if nv == 1:
+        # single-video global batch has no negative contexts; the mean
+        # over the empty (Nq, 0) axis would be NaN.  Reference returns
+        # zero losses for bsz_v == 1 (model/pretrain.py:214-216).
+        zero = jnp.zeros((), jnp.float32)
+        return zero, zero
     q_mask = q_mask.astype(jnp.float32)
     pos_vid = jnp.arange(nq) // num_q_per_v          # (Nq,)
     pos_scores = scores[jnp.arange(nq), pos_vid]     # (Nq,)
@@ -206,6 +214,12 @@ def video_level_loss(scores: jax.Array, q_mask: jax.Array, num_q_per_v: int,
         col = jnp.arange(n_cols, dtype=jnp.float32)
         hard = jnp.where(col < hard_pool_size, hard_neg_weight, 0.1)
         return jnp.where(use_hard_negative, hard, jnp.ones_like(col))
+
+    if not vsm.use_all_neg:
+        return _sampled_neg_loss(scores_masked, pos_scores, q_mask,
+                                 num_q_per_v, vsm,
+                                 use_hard_negative=use_hard_negative,
+                                 hard_pool_size=hard_pool_size, rng=rng)
 
     # --- negative contexts per query: sort row desc, drop the masked
     # positive (sorts first at 999) → (Nq, Nv-1)
@@ -238,6 +252,51 @@ def video_level_loss(scores: jax.Array, q_mask: jax.Array, num_q_per_v: int,
     return jnp.sum(l_ctx_per_q) / n_valid, jnp.sum(l_q_per_q) / n_valid
 
 
+def _sampled_neg_loss(scores_masked, pos_scores, q_mask, num_q_per_v, vsm,
+                      *, use_hard_negative, hard_pool_size, rng):
+    """``use_all_neg=False``: ONE sampled negative per query / per video
+    instead of all sorted negatives (reference get_sampled_neg_scores,
+    model/pretrain.py:296-318 and the else-branch of get_video_level_loss,
+    :270-285).  The sampled index is uniform in [min_idx, max_idx) where
+    max_idx = min_idx + hard_pool_size under hard-negative mining, else
+    the full width — traced, so curricula don't recompile."""
+    nq, nv = scores_masked.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_ctx, r_q = jax.random.split(rng)
+    min_ctx, min_q = 1, num_q_per_v
+
+    def sample_sorted(sorted_rows, key, width, min_idx):
+        max_idx = jnp.where(
+            use_hard_negative,
+            jnp.minimum(jnp.asarray(min_idx + hard_pool_size), width),
+            width).astype(jnp.float32)
+        u = jax.random.uniform(key, (sorted_rows.shape[0],))
+        idx = (min_idx + u * (max_idx - min_idx)).astype(jnp.int32)
+        idx = jnp.clip(idx, min_idx, width - 1)
+        return jnp.take_along_axis(sorted_rows, idx[:, None], axis=1)[:, 0]
+
+    # one negative context per query
+    row_sorted = -jnp.sort(-scores_masked, axis=1)
+    neg_ctx = sample_sorted(row_sorted, r_ctx, nv, min_ctx)      # (Nq,)
+    l_ctx = ranking_loss(pos_scores, neg_ctx, vsm.ranking_loss_type,
+                         vsm.margin) * q_mask
+
+    # one negative query per video
+    vq = scores_masked.T                                         # (Nv, Nq)
+    vq = jnp.where(q_mask[None, :] > 0, vq, nn.MASK_VAL)
+    pos_vid = jnp.arange(nq) // num_q_per_v
+    vq = vq.at[pos_vid, jnp.arange(nq)].set(999.0)
+    vq_sorted = -jnp.sort(-vq, axis=1)
+    neg_q = sample_sorted(vq_sorted, r_q, nq, min_q)             # (Nv,)
+    pos_per_v = pos_scores.reshape(nv, num_q_per_v)
+    l_q = ranking_loss(pos_per_v, neg_q[:, None], vsm.ranking_loss_type,
+                       vsm.margin).reshape(nq) * q_mask
+
+    n_valid = jnp.maximum(jnp.sum(q_mask), 1.0)
+    return jnp.sum(l_ctx) / n_valid, jnp.sum(l_q) / n_valid
+
+
 def forward_vsm(params: Params, cfg: HeroConfig, vsm: VsmConfig,
                 batch: Dict[str, jax.Array], *, compute_loss: bool = True,
                 use_hard_negative=False, hard_pool_size=20,
@@ -262,32 +321,52 @@ def forward_vsm(params: Params, cfg: HeroConfig, vsm: VsmConfig,
 
     frame_mask = batch["c_attn_masks"].astype(jnp.float32)
     q_mask = batch["q_mask"].reshape(B * Q)
+    st_ed_active = compute_st_ed and (lw_st_ed is None
+                                      or vsm.lw_st_ed != 0)
 
-    st_logits = ed_logits = None
-    if compute_st_ed and (lw_st_ed is None or vsm.lw_st_ed != 0):
+    def span_logits():
         # each query scores its own video: gather per-query frame rows
         own_frames = jnp.repeat(frame_emb, Q, axis=0)          # (B*Q, F, D)
         own_mask = jnp.repeat(frame_mask, Q, axis=0)
-        st_logits, ed_logits = get_st_ed_logits(
-            params["head"], mod_query, own_frames, own_mask)
+        return get_st_ed_logits(params["head"], mod_query, own_frames,
+                                own_mask)
 
     scores = None
     if vsm.lw_neg_ctx != 0 or vsm.lw_neg_q != 0:
         scores = get_video_level_scores(mod_query, frame_emb, frame_mask)
 
     if not compute_loss:
+        st_logits = ed_logits = None
+        if st_ed_active:
+            st_logits, ed_logits = span_logits()
         return scores, st_logits, ed_logits
 
     zero = jnp.zeros((), jnp.float32)
     loss_st_ed = zero
-    if st_logits is not None:
+    if st_ed_active:
         targets = batch["targets"].reshape(B * Q, 2)
-        s_sum, s_cnt = backbone.masked_cross_entropy(st_logits,
-                                                     targets[:, 0])
-        e_sum, e_cnt = backbone.masked_cross_entropy(ed_logits,
-                                                     targets[:, 1])
-        loss_st_ed = (s_sum / jnp.maximum(s_cnt, 1.0)
-                      + e_sum / jnp.maximum(e_cnt, 1.0))
+
+        def span_loss(_):
+            st_logits, ed_logits = span_logits()
+            s_sum, s_cnt = backbone.masked_cross_entropy(st_logits,
+                                                         targets[:, 0])
+            e_sum, e_cnt = backbone.masked_cross_entropy(ed_logits,
+                                                         targets[:, 1])
+            return (s_sum / jnp.maximum(s_cnt, 1.0)
+                    + e_sum / jnp.maximum(e_cnt, 1.0))
+
+        if train and vsm.drop_svmr_prob > 0 and rng is not None:
+            # reference model/pretrain.py:73-78: with prob drop_svmr_prob
+            # the span path is skipped entirely during training.  Traced
+            # Bernoulli + lax.cond: one compilation, and on TPU only the
+            # selected branch executes, so dropped steps really skip the
+            # (B·Q, F, D) st/ed compute.
+            keep = (jax.random.uniform(nn.rng_for(rng, "drop_svmr"))
+                    > vsm.drop_svmr_prob)
+            loss_st_ed = jax.lax.cond(keep, span_loss,
+                                      lambda _: zero, None)
+        else:
+            loss_st_ed = span_loss(None)
 
     loss_neg_ctx, loss_neg_q = zero, zero
     if scores is not None:
@@ -295,7 +374,9 @@ def forward_vsm(params: Params, cfg: HeroConfig, vsm: VsmConfig,
             scores, q_mask, Q, vsm,
             use_hard_negative=use_hard_negative,
             hard_pool_size=hard_pool_size,
-            hard_neg_weight=hard_neg_weight)
+            hard_neg_weight=hard_neg_weight,
+            rng=nn.rng_for(rng, "sampled_neg") if rng is not None
+            else None)
 
     w_st_ed = vsm.lw_st_ed if lw_st_ed is None else lw_st_ed
     return (w_st_ed * loss_st_ed, vsm.lw_neg_ctx * loss_neg_ctx,

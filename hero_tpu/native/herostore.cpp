@@ -58,7 +58,8 @@ void hs_close(void* handle) {
 int64_t hs_read(void* handle, uint64_t offset, uint64_t length,
                 uint8_t* out) {
     auto* h = static_cast<StoreHandle*>(handle);
-    if (!h || offset + length > h->size) return -1;
+    // overflow-safe: offset + length may wrap on hostile index data
+    if (!h || offset > h->size || length > h->size - offset) return -1;
     memcpy(out, h->base + offset, length);
     return static_cast<int64_t>(length);
 }
@@ -72,7 +73,8 @@ int64_t hs_read_many(void* handle, int64_t n, const uint64_t* offsets,
     if (!h) return -1;
     uint64_t pos = 0;
     for (int64_t i = 0; i < n; i++) {
-        if (offsets[i] + lengths[i] > h->size) return -1;
+        if (offsets[i] > h->size || lengths[i] > h->size - offsets[i])
+            return -1;
         memcpy(out + pos, h->base + offsets[i], lengths[i]);
         out_offsets[i] = pos;
         pos += lengths[i];

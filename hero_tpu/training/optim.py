@@ -138,9 +138,11 @@ def adamw_update(grads, state: AdamWState, params, lr,
         m = b1 * m + (1.0 - b1) * g
         v = b2 * v + (1.0 - b2) * g * g
         leaf_lr = lr * (1.0 + (cfg.lr_mul - 1.0) * tm)
-        update = -leaf_lr * sf * m / (jnp.sqrt(v) + cfg.eps)
-        update = update - leaf_lr * cfg.weight_decay * dm * p32
-        return (p32 + update).astype(p.dtype), m, v
+        p_new = p32 - leaf_lr * sf * m / (jnp.sqrt(v) + cfg.eps)
+        # reference adamw.py:104 decays the *already-updated* value
+        # (p.add_(-lr*wd*p) after addcdiv_), not the pre-step one
+        p_new = p_new - leaf_lr * cfg.weight_decay * dm * p_new
+        return p_new.astype(p.dtype), m, v
 
     flat = jax.tree.map(upd, grads, state.mu, state.nu, params, decay_mask,
                         top_mask)

@@ -126,13 +126,19 @@ class TrainingRestorer:
         return (os.path.exists(self.save_path)
                 or os.path.exists(self.backup_path))
 
-    def step(self, train_state, save_steps: int) -> None:
-        step = int(train_state.global_step)
+    def step(self, train_state, save_steps: int,
+             global_step: Optional[int] = None) -> None:
+        """Call every training step.  Pass the driver's host-side
+        ``global_step`` int — fetching ``train_state.global_step`` from
+        device would force a blocking tunnel round-trip each step
+        (CLAUDE.md: only value fetches synchronize)."""
+        step = (int(train_state.global_step) if global_step is None
+                else global_step)
         self.global_step = step
         if step % save_steps == 0:
-            self.save(train_state)
+            self.save(train_state, global_step=step)
 
-    def save(self, train_state) -> None:
+    def save(self, train_state, global_step: Optional[int] = None) -> None:
         if os.path.exists(self.save_path):
             os.replace(self.save_path, self.backup_path)
         flat = flatten_tree(jax.tree.map(np.asarray, {
@@ -140,7 +146,9 @@ class TrainingRestorer:
             "mu": train_state.opt.mu,
             "nu": train_state.opt.nu,
         }))
-        flat["__step__"] = np.asarray(int(train_state.global_step))
+        flat["__step__"] = np.asarray(
+            int(train_state.global_step) if global_step is None
+            else global_step)
         np.savez(self.save_path, **flat)
 
     def restore(self, train_state):

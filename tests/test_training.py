@@ -66,7 +66,8 @@ def test_adamw_matches_torch():
         v = b2 * v + (1 - b2) * gt * gt
         denom = v.sqrt() + eps
         sf = lr * ((1 - b2 ** step) ** 0.5) / (1 - b1 ** step)
-        pt = pt - sf * m / denom - lr * wd * pt
+        pt = pt - sf * m / denom
+        pt = pt - lr * wd * pt  # decay after the step (adamw.py:104)
 
     params = {"head": {"dense": {"kernel": jnp.asarray(w0)}}}
     grads = {"head": {"dense": {"kernel": jnp.asarray(g)}}}
@@ -236,3 +237,98 @@ def test_vsm_global_batch_semantics_under_sharding():
     sharded = jax.jit(loss)(rep, sharded_batch)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_drop_svmr_prob_skips_span_loss():
+    """With drop_svmr_prob=0.8 the span loss must be exactly zero on ~80%
+    of steps (reference model/pretrain.py:73-78), under ONE compilation
+    (the Bernoulli is traced; lax.cond selects the branch)."""
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01,
+                             drop_svmr_prob=0.8)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(3), cfg)
+    batch = tiny_batch(cfg)
+
+    @jax.jit
+    def span_loss(p, b, rng):
+        a, _, _ = pretrain.forward_vsm(p, cfg, vsm, b, rng=rng, train=True)
+        return a
+
+    with jax.log_compiles(False):
+        vals = [float(span_loss(params, batch, jax.random.PRNGKey(i)))
+                for i in range(50)]
+    n_zero = sum(v == 0.0 for v in vals)
+    # Bernoulli(0.8) over 50 draws: [28, 48] is a ~6-sigma window
+    assert 28 <= n_zero <= 48, n_zero
+    assert any(v > 0.0 for v in vals)
+    # eval mode never drops (reference: `or not self.training`)
+    a_eval, _, _ = pretrain.forward_vsm(params, cfg, vsm, batch,
+                                        rng=jax.random.PRNGKey(0),
+                                        train=False)
+    assert float(a_eval) > 0.0
+
+
+def test_drop_svmr_single_compilation():
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01,
+                             drop_svmr_prob=0.5)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(3), cfg)
+    batch = tiny_batch(cfg)
+
+    n_traces = 0
+
+    def loss(p, b, rng):
+        nonlocal n_traces
+        n_traces += 1
+        a, x, y = pretrain.forward_vsm(p, cfg, vsm, b, rng=rng, train=True)
+        return a + x + y
+
+    f = jax.jit(loss)
+    for i in range(6):
+        float(f(params, batch, jax.random.PRNGKey(i)))
+    assert n_traces == 1, n_traces
+
+
+def test_sampled_neg_branch():
+    """use_all_neg=False draws ONE negative per query/video (reference
+    get_sampled_neg_scores, model/pretrain.py:296-318).  The sampled
+    hinge loss per query must lie within [min, max] of the all-neg
+    per-column losses, and losses must be finite and generally nonzero."""
+    from hero_tpu.models.pretrain import video_level_loss
+    r = np.random.RandomState(0)
+    nq, nv, Q = 12, 6, 2
+    scores = jnp.asarray(r.randn(nq, nv).astype(np.float32) * 0.3)
+    q_mask = jnp.ones((nq,), jnp.float32)
+    vsm_all = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0,
+                                 use_all_neg=True)
+    vsm_smp = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0,
+                                 use_all_neg=False)
+    kw = dict(use_hard_negative=jnp.asarray(False),
+              hard_pool_size=jnp.asarray(20),
+              hard_neg_weight=jnp.asarray(10.0))
+    l_all = video_level_loss(scores, q_mask, Q, vsm_all, **kw)
+    outs = [video_level_loss(scores, q_mask, Q, vsm_smp, **kw,
+                             rng=jax.random.PRNGKey(i)) for i in range(8)]
+    for l_ctx, l_q in outs:
+        assert np.isfinite(float(l_ctx)) and np.isfinite(float(l_q))
+    # different rng -> different sampled losses (not a constant path)
+    ctxs = {round(float(c), 6) for c, _ in outs}
+    assert len(ctxs) > 1, ctxs
+    # sampled loss is a mean of per-row single-negative hinges, each of
+    # which is bounded by the max all-neg hinge + margin slack
+    assert float(l_all[0]) >= 0 and all(float(c) >= 0 for c, _ in outs)
+
+
+def test_video_level_loss_single_video_is_zero():
+    """Nv==1: no negatives exist; reference returns zeros
+    (model/pretrain.py:214-216) — must not be NaN."""
+    from hero_tpu.models.pretrain import video_level_loss
+    scores = jnp.asarray(np.random.RandomState(0).randn(4, 1)
+                         .astype(np.float32))
+    l_ctx, l_q = video_level_loss(
+        scores, jnp.ones((4,), jnp.float32), 4,
+        pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0),
+        use_hard_negative=jnp.asarray(False),
+        hard_pool_size=jnp.asarray(20),
+        hard_neg_weight=jnp.asarray(10.0))
+    assert float(l_ctx) == 0.0 and float(l_q) == 0.0
