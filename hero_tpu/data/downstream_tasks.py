@@ -302,6 +302,16 @@ class TvcCaptionStore:
                                   "cap2vid.json", {})
         self.vid2caps = _load_json(os.path.join(db_dir, "cap.db"),
                                    "vid2caps.json", {})
+        self.vid2clips = _load_json(os.path.join(db_dir, "clip.db"),
+                                    "vid2clips.json", {})
+        self.clip2vid = _load_json(os.path.join(db_dir, "clip.db"),
+                                   "clip2vid.json", {})
+
+    def get_clip(self, clip_id: str):
+        """Clip record: {vid_name, ts, captions: [{id, text}]}
+        (reference CaptionTokLmdb.get_clip, data/tvc.py:51-53)."""
+        assert self.clip_db is not None, "no clip.db in this caption store"
+        return dict(self.clip_db[clip_id])
 
     def __getitem__(self, cid: str):
         d = dict(self.cap_db[cid])
@@ -417,4 +427,119 @@ def build_tvc_batch(dataset: TvcTrainDataset,
     batch["cap_vidx"] = np.repeat(np.arange(len(items), dtype=np.int32), C)
     batch["__cap_ids__"] = [c for it in items for c in it["__cap_ids__"]]
     batch["__vids__"] = [it["__vid__"] for it in items]
+    return batch
+
+
+class TvcClipDataset:
+    """Per-clip TVC generation dataset: every clip appears EXACTLY once
+    (reference TvcValDataset / TvcEvalDataset, data/tvc.py:164-291).
+
+    TPU-first fixed shapes: each item is one video with a fixed width of
+    ``clips_per_item`` clip rows; videos with more clips span several
+    items (chunking), fewer are padded with masked rows.  Per-clip meta
+    (``__clip_ids__``/``__ts__``/``__gts__``) carries ``None`` in padded
+    slots so callers can drop them.
+    """
+
+    def __init__(self, video_db: VideoFeatSubTokDataset,
+                 clips: Sequence[Tuple[str, str, Sequence[float],
+                                       Optional[List[str]]]],
+                 clips_per_item: int = 4, seg_len: int = 48,
+                 distributed: bool = False, rank: int = 0,
+                 world_size: int = 1):
+        """``clips``: (vid, clip_id, ts, gt_texts-or-None) in corpus order."""
+        self.video_db = video_db
+        self.clips_per_item = clips_per_item
+        self.seg_len = seg_len
+        self.frame_interval = video_db.img_db.frame_interval
+        by_vid: Dict[str, list] = {}
+        for vid, cid, ts, gts in clips:
+            by_vid.setdefault(vid, []).append((cid, ts, gts))
+        vids = list(by_vid.keys())
+        if distributed and world_size > 1:
+            vids = vids[rank::world_size]  # reference rank-slicing
+        self.items = []
+        for vid in vids:
+            rows = by_vid[vid]
+            for s in range(0, len(rows), clips_per_item):
+                self.items.append((vid, rows[s:s + clips_per_item]))
+
+    @classmethod
+    def from_caption_db(cls, video_db, caption_db: "TvcCaptionStore",
+                        **kw) -> "TvcClipDataset":
+        """Validation source: clip.db GT captions (reference TvcValDataset,
+        data/tvc.py:164-219)."""
+        clips = []
+        for vid, cids in caption_db.vid2clips.items():
+            for cid in cids:
+                ex = caption_db.get_clip(cid)
+                gts = [c["text"] for c in ex.get("captions", [])] or None
+                clips.append((vid, cid, ex["ts"], gts))
+        return cls(video_db, clips, **kw)
+
+    @classmethod
+    def from_jsonl(cls, video_db, path: str, **kw) -> "TvcClipDataset":
+        """Submission source: raw clip jsonl {vid_name, clip_id, ts[,descs]}
+        (reference TvcEvalDataset, data/tvc.py:221-291)."""
+        import json
+        clips = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                ex = json.loads(line)
+                gts = ([d.get("desc") for d in ex["descs"]]
+                       if ex.get("descs") else None)
+                clips.append((ex["vid_name"], str(ex["clip_id"]),
+                              ex["ts"], gts))
+        return cls(video_db, clips, **kw)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        vid, rows = self.items[i]
+        item = self.video_db.video_item(vid)
+        nframes = self.video_db.nframes(vid)
+        C, Lv = self.clips_per_item, self.seg_len
+        seg_idx = np.zeros((C, Lv), np.int32)
+        seg_mask = np.zeros((C, Lv), np.float32)
+        clip_ids: List[Optional[str]] = [None] * C
+        tss: List[Optional[list]] = [None] * C
+        gts: List[Optional[List[str]]] = [None] * C
+        for ci, (cid, ts, gt) in enumerate(rows):
+            st, ed = get_st_ed_label(ts, nframes, self.frame_interval,
+                                     round_ed=True)
+            n = min(ed - st, Lv)
+            seg_idx[ci, :n] = np.arange(st, st + n)
+            seg_mask[ci, :n] = 1.0
+            clip_ids[ci], tss[ci], gts[ci] = cid, list(ts), gt
+        item["seg_idx"] = seg_idx
+        item["seg_mask"] = seg_mask
+        item["__clip_ids__"] = clip_ids
+        item["__ts__"] = tss
+        item["__gts__"] = gts
+        item["__vid__"] = vid
+        return item
+
+
+def build_tvc_clip_batch(dataset: TvcClipDataset,
+                         indices: Sequence[int]) -> Dict[str, np.ndarray]:
+    """Per-clip generation batch: same encoder contract as build_tvc_batch
+    but no caption inputs (decoding starts at BOS)."""
+    items = [dataset[i] for i in indices]
+    batch = {}
+    video_keys = ("sub_input_ids", "sub_txt_mask", "sub_frame_idx",
+                  "sub_frame_mask", "sub_mask", "c_v_feats",
+                  "c_attn_masks")
+    for k in video_keys:
+        batch[k] = np.stack([it[k] for it in items])
+    C = dataset.clips_per_item
+    for k in ("seg_idx", "seg_mask"):
+        batch[k] = np.concatenate([it[k] for it in items], 0)
+    batch["cap_vidx"] = np.repeat(np.arange(len(items), dtype=np.int32), C)
+    batch["__clip_ids__"] = [c for it in items for c in it["__clip_ids__"]]
+    batch["__ts__"] = [t for it in items for t in it["__ts__"]]
+    batch["__gts__"] = [g for it in items for g in it["__gts__"]]
+    batch["__vids__"] = [it["__vid__"] for it in items for _ in range(C)]
     return batch

@@ -147,9 +147,11 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
     # --- TVC captions
     cap_root = os.path.join(root, "cap_db_root")
     cap_dir = os.path.join(cap_root, "cap.db")
+    clip_dir = os.path.join(cap_root, "clip.db")
     vid2caps, cap2vid = {}, {}
+    vid2clips, clip2vid = {}, {}
     os.makedirs(cap_root, exist_ok=True)
-    with HeroStoreWriter(cap_dir) as w:
+    with HeroStoreWriter(cap_dir) as w, HeroStoreWriter(clip_dir) as cw:
         cid = 0
         for vid in vids:
             nf = id2nframe[vid]
@@ -158,11 +160,21 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
                 ids = [rng.randint(3, 99)
                        for _ in range(rng.randint(4, 9))]
                 st = rng.uniform(0, nf * frame_interval / 2)
+                ts = [st, st + rng.uniform(2, 8)]
                 w.put(str(cid), {
                     "input_ids": ids,
-                    "ts": [st, st + rng.uniform(2, 8)],
+                    "ts": ts,
                     "clip_id": cid,
                 })
+                # one clip per caption here (TVC has ~2-4 captions per
+                # clip in the real data; 1:1 keeps the corpus small)
+                cw.put(str(cid), {
+                    "vid_name": vid, "ts": ts,
+                    "captions": [{"id": str(cid),
+                                  "text": " ".join(map(str, ids))}],
+                })
+                clip2vid[str(cid)] = vid
+                vid2clips.setdefault(vid, []).append(str(cid))
                 caps.append(str(cid))
                 cap2vid[str(cid)] = vid
                 cid += 1
@@ -170,6 +182,8 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
     _write_json(cap_root, "meta.json", META)
     _write_json(cap_dir, "vid2caps.json", vid2caps)
     _write_json(cap_dir, "cap2vid.json", cap2vid)
+    _write_json(clip_dir, "vid2clips.json", vid2clips)
+    _write_json(clip_dir, "clip2vid.json", clip2vid)
 
     return {"sub": sub_dir, "vfeat": vfeat_dir, "query": q_dir,
             "qa_query": qa_dir, "violin_query": vl_dir, "cap": cap_root,

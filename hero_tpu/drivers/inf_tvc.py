@@ -1,8 +1,14 @@
 """TVC caption generation → submission jsonl (reference ``inf_tvc.py``).
 
-Greedy (default) or beam decoding with the KV-cached decoder; if a
-RoBERTa tokenizer is available (transformers), token ids are detokenized
-into text like the reference; otherwise ids are emitted.
+Covers every clip EXACTLY once: the input is either a raw clip jsonl
+(``--target_clip``, reference TvcEvalDataset, data/tvc.py:221-291) or the
+caption store's clip.db (TvcValDataset, :164-219).  Greedy (default) or
+beam decoding with the KV-cached decoder; if a RoBERTa tokenizer is
+available (transformers), token ids are detokenized into text like the
+reference; otherwise space-joined ids are emitted.
+
+Output rows match the reference submission schema (inf_tvc.py:92-97):
+``{"vid_name", "clip_id", "ts", "descs": [{"desc"}]}``.
 """
 
 from __future__ import annotations
@@ -15,9 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hero_tpu.data.downstream_tasks import (TvcCaptionStore,
-                                            TvcTrainDataset,
-                                            build_tvc_batch)
+from hero_tpu.data.downstream_tasks import (TvcCaptionStore, TvcClipDataset,
+                                            build_tvc_clip_batch)
 from hero_tpu.drivers import common
 from hero_tpu.drivers.eval_vcmr import load_serve_opts, resolve_checkpoint
 from hero_tpu.models import tvc as tvc_lib
@@ -34,6 +39,49 @@ def detokenizer():
         return None
 
 
+def generate_clip_captions(params, cfg, ds: TvcClipDataset, *, bos, eos,
+                           batch_size: int = 8, max_gen_step: int = 30,
+                           beam: int = 1, detok=None):
+    """Decode every clip in ``ds`` once → reference submission records.
+
+    The final partial batch is padded by repeating the last item (fixed
+    shapes, no recompile); padded/duplicate rows are dropped via the
+    per-row clip-id meta.
+    """
+    decode = tvc_lib.beam_decode if beam > 1 else tvc_lib.greedy_decode
+    kwargs = {"beam": beam} if beam > 1 else {}
+    records, seen = [], set()
+    bs = max(1, min(batch_size, len(ds)))
+    for s in range(0, len(ds), bs):
+        idx = list(range(s, min(s + bs, len(ds))))
+        while len(idx) < bs:       # repeat-pad tail; deduped below
+            idx.append(idx[-1])
+        batch = build_tvc_clip_batch(ds, idx)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("__")}
+        ids = np.asarray(decode(params, cfg, jb, max_step=max_gen_step,
+                                bos=bos, eos=eos, **kwargs))
+        for ri, cid in enumerate(batch["__clip_ids__"]):
+            if cid is None or cid in seen:
+                continue           # padded clip slot / repeated tail item
+            seen.add(cid)
+            toks = []
+            for t in ids[ri].tolist():
+                if t == eos:
+                    break
+                toks.append(int(t))
+            desc = detok(toks) if detok else " ".join(map(str, toks))
+            try:
+                clip_id = int(cid)
+            except (TypeError, ValueError):
+                clip_id = cid
+            records.append({"vid_name": batch["__vids__"][ri],
+                            "clip_id": clip_id,
+                            "ts": batch["__ts__"][ri],
+                            "descs": [{"desc": desc}]})
+    return records
+
+
 def main(args):
     opts = load_serve_opts(args.output_dir)
     cfg = common.model_config_from_opts(opts)
@@ -46,34 +94,24 @@ def main(args):
     video_db = common.load_video_sub_dataset(opts, shapes)
     cap_db = TvcCaptionStore(args.target_clip_db or opts.cap_db,
                              max_txt_len=opts.max_txt_len)
-    ds = TvcTrainDataset(video_db, cap_db, caps_per_video=2,
-                         cap_len=opts.max_txt_len + 2,
-                         seg_len=opts.max_clip_len)
-    detok = detokenizer()
-    bos, eos = cap_db.bos, cap_db.eos
-    decode = (tvc_lib.beam_decode if args.beam > 1
-              else tvc_lib.greedy_decode)
+    ds_kw = dict(clips_per_item=getattr(opts, "clips_per_item", 4),
+                 seg_len=opts.max_clip_len,
+                 distributed=jax.process_count() > 1,
+                 rank=jax.process_index(), world_size=jax.process_count())
+    if args.target_clip:
+        ds = TvcClipDataset.from_jsonl(video_db, args.target_clip, **ds_kw)
+    else:
+        ds = TvcClipDataset.from_caption_db(video_db, cap_db, **ds_kw)
+    records = generate_clip_captions(
+        params, cfg, ds, bos=cap_db.bos, eos=cap_db.eos,
+        batch_size=getattr(opts, "val_batch_size", 8),
+        max_gen_step=getattr(opts, "max_gen_step", 30), beam=args.beam,
+        detok=detokenizer())
 
-    records = []
-    bs = getattr(opts, "val_batch_size", 8)
-    for s in range(0, len(ds), bs):
-        idx = list(range(s, min(s + bs, len(ds))))
-        batch = build_tvc_batch(ds, idx)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not k.startswith("__")}
-        kwargs = {"beam": args.beam} if args.beam > 1 else {}
-        ids = np.asarray(decode(params, cfg, jb,
-                                max_step=getattr(opts, "max_gen_step", 30),
-                                bos=bos, eos=eos, **kwargs))
-        for ci, cap_id in enumerate(batch["__cap_ids__"]):
-            toks = []
-            for t in ids[ci].tolist():
-                if t == eos:
-                    break
-                toks.append(int(t))
-            desc = detok(toks) if detok else " ".join(map(str, toks))
-            records.append({"clip_id": cap_id,
-                            "descs": [{"desc": desc}]})
+    from hero_tpu.parallel.mesh import host_allgather, is_primary
+    records = [r for rs in host_allgather(records) for r in rs]
+    if not is_primary():
+        return records
     with open(args.submission, "w") as f:
         for rec in records:
             f.write(json.dumps(rec) + "\n")
@@ -90,6 +128,10 @@ def build_argparser():
     p = argparse.ArgumentParser("hero_tpu inf_tvc")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--target_clip", default=None,
+                   help="clip jsonl to generate for (reference "
+                        "--target_clip); default: clip.db of the train "
+                        "caption store")
     p.add_argument("--target_clip_db", default=None)
     p.add_argument("--submission", default="tvc_submission.jsonl")
     p.add_argument("--beam", default=1, type=int)

@@ -95,13 +95,28 @@ def main(opts):
         from hero_tpu.parallel.mesh import is_primary
         if not is_primary():
             return  # caption generation has no collectives; write is rank-0
-        gen = generate_captions(jax.device_get(state.params), cfg,
-                                train_ds, opts)
+        host_params = jax.device_get(state.params)
+        if cap_db.vid2clips:
+            # per-clip GT validation (reference TvcValDataset → CIDEr,
+            # train_tvc.py validate): every clip decoded exactly once
+            from hero_tpu.data.downstream_tasks import TvcClipDataset
+            from hero_tpu.drivers.inf_tvc import generate_clip_captions
+            val_ds = TvcClipDataset.from_caption_db(
+                video_db, cap_db,
+                clips_per_item=getattr(opts, "clips_per_item", 4),
+                seg_len=getattr(opts, "bucket_seg_len", opts.max_clip_len))
+            gen = generate_clip_captions(
+                host_params, cfg, val_ds, bos=cap_db.bos, eos=cap_db.eos,
+                batch_size=opts.val_batch_size,
+                max_gen_step=getattr(opts, "max_gen_step", 30))
+            scores = score_clip_captions(gen, val_ds)
+        else:
+            gen = generate_captions(host_params, cfg, train_ds, opts)
+            scores = score_token_captions(gen, cap_db)
         path = os.path.join(opts.output_dir, f"tvc_gen_{step}.jsonl")
         with open(path, "w") as f:
             for rec in gen:
                 f.write(json.dumps(rec) + "\n")
-        scores = score_token_captions(gen, cap_db)
         LOGGER.info("[step %d] wrote %d captions to %s — %s", step,
                     len(gen), path, scores)
 
@@ -109,6 +124,26 @@ def main(opts):
                         PrefetchLoader(batches(), device_put=lambda b: b),
                         validate_fn=validate, saver=saver,
                         restorer=restorer)
+
+
+def score_clip_captions(gen, val_ds):
+    """BLEU-4/ROUGE-L/CIDEr of generated per-clip captions against the
+    clip.db GT texts (reference train_tvc.py validate → TVCEval)."""
+    from hero_tpu.evaluation import caption_metrics as cm
+    gt_map = {str(cid): g for _, rows in val_ds.items
+              for cid, _, g in rows if g}
+    gts, res = {}, {}
+    for rec in gen:
+        cid = str(rec["clip_id"])
+        if cid not in gt_map:
+            continue
+        gts[cid] = [t.split() for t in gt_map[cid]]
+        res[cid] = rec["descs"][0]["desc"].split()
+    if not res:
+        return {}
+    return {"Bleu@4": round(cm.bleu(gts, res)[3], 4),
+            "ROUGE-L": round(cm.rouge_l(gts, res), 4),
+            "CIDEr": round(cm.cider_d(gts, res), 4)}
 
 
 def score_token_captions(gen, cap_db):

@@ -160,19 +160,36 @@ def build_qa_query_db(out_dir: str, qa_jsonl: List[dict],
 def build_caption_db(root_dir: str, cap_jsonl: List[dict],
                      tokenize: Callable[[str], List[int]],
                      meta: dict = ROBERTA_META) -> None:
-    """TVC cap.db (reference prepro_tvc.py:22-137)."""
+    """TVC cap.db + clip.db (reference prepro_tvc.py:22-137).
+
+    cap.db keys are desc_ids (one row per caption); clip.db keys are
+    clip_ids carrying the clip ts + all GT caption texts, which feed
+    TvcValDataset-style per-clip validation (reference data/tvc.py:164-219).
+    """
     cap_dir = os.path.join(root_dir, "cap.db")
+    clip_dir = os.path.join(root_dir, "clip.db")
     vid2caps, cap2vid = {}, {}
-    with HeroStoreWriter(cap_dir) as w:
+    vid2clips, clip2vid = {}, {}
+    with HeroStoreWriter(cap_dir) as w, HeroStoreWriter(clip_dir) as cw:
         for item in cap_jsonl:
             vid = item["vid_name"]
+            clip_id = str(item.get("clip_id", item["descs"][0]["desc_id"]))
+            clip2vid[clip_id] = vid
+            vid2clips.setdefault(vid, []).append(clip_id)
+            captions = []
             for d in item["descs"]:
                 cid = str(d["desc_id"])
                 w.put(cid, {"input_ids": tokenize(d["desc"]),
                             "ts": item["ts"],
-                            "clip_id": item.get("clip_id", cid)})
+                            "clip_id": clip_id})
                 vid2caps.setdefault(vid, []).append(cid)
                 cap2vid[cid] = vid
+                captions.append({"id": cid, "text": d["desc"]})
+            cw.put(clip_id, {"vid_name": vid, "ts": item["ts"],
+                             "duration": item.get("duration"),
+                             "captions": captions})
     _write_json(os.path.join(root_dir, "meta.json"), meta)
     _write_json(os.path.join(cap_dir, "vid2caps.json"), vid2caps)
     _write_json(os.path.join(cap_dir, "cap2vid.json"), cap2vid)
+    _write_json(os.path.join(clip_dir, "vid2clips.json"), vid2clips)
+    _write_json(os.path.join(clip_dir, "clip2vid.json"), clip2vid)

@@ -147,7 +147,30 @@ def test_tvc_driver_and_inf(env):
     inf_tvc.main(args)
     with open(sub_path) as f:
         recs = [json.loads(l) for l in f if l.strip()]
-    assert recs and "descs" in recs[0]
+    # reference submission schema + every clip covered exactly once
+    assert recs and all(set(r) >= {"vid_name", "clip_id", "ts", "descs"}
+                        for r in recs)
+    from hero_tpu.data.downstream_tasks import TvcCaptionStore
+    cap_db = TvcCaptionStore(corpus["cap"])
+    all_clips = sorted(c for cs in cap_db.vid2clips.values() for c in cs)
+    assert sorted(str(r["clip_id"]) for r in recs) == all_clips
+
+    # TvcEvalDataset path: generation from a raw, unannotated clip jsonl
+    target = os.path.join(root, "target_clips.jsonl")
+    with open(target, "w") as f:
+        for cid in all_clips[:3]:
+            ex = cap_db.get_clip(cid)
+            f.write(json.dumps({"vid_name": ex["vid_name"],
+                                "clip_id": int(cid),
+                                "ts": ex["ts"]}) + "\n")
+    sub2 = os.path.join(root, "tvc_sub2.jsonl")
+    args = inf_tvc.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4",
+         "--target_clip", target, "--submission", sub2])
+    inf_tvc.main(args)
+    with open(sub2) as f:
+        recs2 = [json.loads(l) for l in f if l.strip()]
+    assert sorted(str(r["clip_id"]) for r in recs2) == all_clips[:3]
 
 
 def test_vr_driver(env):
