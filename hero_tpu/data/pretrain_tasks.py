@@ -80,8 +80,10 @@ class _TaskDataset:
 
 class MlmDataset(_TaskDataset):
     """Masked subtitle modeling (reference VideoMlmDataset,
-    data/mlm.py:78-131): BERT-mask each sub's own tokens; context windows
-    stay unmasked; emits fixed (S, M) mask positions/labels."""
+    data/mlm.py:78-131): BERT-mask the ctx-window tokens of each sub row and
+    prepend ``[CLS]`` (reference ``create_mlm_io`` with ``cls_tok=True``,
+    data/mlm.py:66-74 — MLM rows lead with CLS where every other task leads
+    with SEP); emits fixed (S, M) mask positions/labels."""
 
     def __init__(self, video_ids, video_db, mask_prob: float = 0.15,
                  seed: int = 0):
@@ -105,7 +107,7 @@ class MlmDataset(_TaskDataset):
             masked, labs = random_word(ids[1:], db.txt_db.v_range,
                                        db.txt_db.mask, rng,
                                        self.mask_prob)
-            new_ids = [ids[0]] + masked
+            new_ids = [db.txt_db.cls_] + masked
             item["sub_input_ids"][row, :len(new_ids)] = new_ids
             slot = 0
             for pos, lab in enumerate(labs, start=1):

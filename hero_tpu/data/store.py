@@ -274,13 +274,34 @@ class QueryTokStore(TxtTokStore):
         for q, v in self.query2video.items():
             self.video2query.setdefault(v, []).append(q)
         self.query_data = {}
+        self._query_data_rows = []
         path = os.path.join(db_dir, "query_data.jsonl")
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
                     if line.strip():
-                        item = json.loads(line)
-                        self.query_data[str(item["desc_id"])] = item
+                        self._query_data_rows.append(json.loads(line))
+        self.query_data = self._key_query_data()
+
+    def _key_query_data(self) -> Dict[str, dict]:
+        return {str(item["desc_id"]): item
+                for item in self._query_data_rows}
+
+
+class MsrvttQueryTokStore(QueryTokStore):
+    """MSR-VTT query store (reference MsrvttQueryTokLmdb,
+    data/vr.py:50-61): query rows are keyed by ``sen_id``, falling back
+    wholesale to ``retrieval_key`` if any row lacks it (and finally to
+    ``desc_id`` so non-MSR-VTT-shaped corpora still load)."""
+
+    def _key_query_data(self) -> Dict[str, dict]:
+        for key in ("sen_id", "retrieval_key", "desc_id"):
+            try:
+                return {str(item[key]): item
+                        for item in self._query_data_rows}
+            except KeyError:
+                continue
+        return {}
 
 
 class ShardedVideoFeatStore:

@@ -16,6 +16,9 @@ import os
 import jax
 
 from hero_tpu.data.store import QueryTokStore
+
+# swapped by drivers/eval_vr.py for MSR-VTT (reference eval_vr.py:69)
+QUERY_STORE_CLS = QueryTokStore
 from hero_tpu.drivers import common
 from hero_tpu.drivers.train_vcmr import build_eval_inputs
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
@@ -53,7 +56,7 @@ def main(args):
     shapes = common.shapes_from_opts(opts).replace(n_queries=1)
     video_db = common.load_video_sub_dataset(opts, shapes)
     qdb_path = args.query_txt_db or getattr(opts, "val_query_txt_db")
-    query_db = QueryTokStore(qdb_path, max_txt_len=opts.max_txt_len)
+    query_db = QUERY_STORE_CLS(qdb_path, max_txt_len=opts.max_txt_len)
 
     vb, qb, video_ids, v2i, qdata = build_eval_inputs(video_db, query_db,
                                                       opts)

@@ -15,11 +15,15 @@ def main(args):
         return dataclasses.replace(orig(opts), full_eval_tasks=("VR",))
 
     import hero_tpu.drivers.common as common_mod
+    from hero_tpu.data.store import MsrvttQueryTokStore
     common_mod.eval_opts_from = vr_opts
+    orig_store = eval_vcmr.QUERY_STORE_CLS
+    eval_vcmr.QUERY_STORE_CLS = MsrvttQueryTokStore
     try:
         return eval_vcmr.main(args)
     finally:
         common_mod.eval_opts_from = orig
+        eval_vcmr.QUERY_STORE_CLS = orig_store
 
 
 if __name__ == "__main__":

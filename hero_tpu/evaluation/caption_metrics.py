@@ -1,16 +1,17 @@
-"""Caption metrics: BLEU-4, ROUGE-L, CIDEr-D (pure python), METEOR (gated).
+"""Caption metrics: BLEU-4, ROUGE-L, CIDEr-D, METEOR — all pure python.
 
 Replaces the reference's vendored ``eval/pycocoevalcap`` + Java jars
 (``eval/tvc.py:17-51``, Dockerfile:26-34).  BLEU/ROUGE-L/CIDEr-D follow the
 standard COCO-caption definitions (brevity penalty on the closest reference
 length, corpus-level geometric mean for BLEU; CIDEr-D with length-gaussian
-penalty, sigma 6.0, n=1..4, ×10 scaling).  METEOR requires the Java jar; if
-``java`` is absent it is skipped with a warning (off the training hot path,
-eval-only, exactly the reference's dependency).
+penalty, sigma 6.0, n=1..4, ×10 scaling) and are differential-tested
+against pycocoevalcap.  METEOR is a dependency-free reimplementation
+(exact + Porter-stem matcher stages; see :func:`meteor`).
 
-Tokenization: the reference shells out to Stanford PTBTokenizer.
-:func:`ptb_tokenize` is a python approximation handling the same
-punctuation/contraction conventions for the TVC captions domain.
+Tokenization: the reference shells out to the Stanford PTBTokenizer jar.
+:func:`ptb_tokenize` reimplements the Penn-Treebank rules + the
+pycocoevalcap punctuation filter in python, golden-tested against known
+jar outputs (tests/test_caption_metrics.py::PTB_GOLDEN).
 """
 
 from __future__ import annotations
@@ -27,17 +28,74 @@ _PUNCT = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
           ".", "?", "!", ",", ":", "-", "--", "...", ";"]
 
 
+# Penn-Treebank tokenization rules (Robert MacIntyre's public-domain
+# tokenizer.sed contractions/punctuation conventions, which the Stanford
+# PTBTokenizer follows for plain English text).  Order matters.
+_PTB_STARTING_QUOTES = [
+    (re.compile(r"^\""), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+]
+_PTB_PUNCT_RULES = [
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),      # not inside numbers
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    # final period (keeps abbreviation periods like u.s. attached)
+    (re.compile(r"([^\.])(\.)([\]\)}>\"\']*)\s*$"), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+]
+_PTB_BRACKETS = [
+    (re.compile(r"\("), " -LRB- "), (re.compile(r"\)"), " -RRB- "),
+    (re.compile(r"\["), " -LSB- "), (re.compile(r"\]"), " -RSB- "),
+    (re.compile(r"\{"), " -LCB- "), (re.compile(r"\}"), " -RCB- "),
+    (re.compile(r"--"), " -- "),
+]
+_PTB_ENDING_QUOTES = [
+    (re.compile(r"\""), " '' "),
+    (re.compile(r"(\S)(\'\')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_PTB_CONTRACTIONS = [
+    re.compile(r"\b(can)(not)\b", re.IGNORECASE),
+    re.compile(r"\b(gon)(na)\b", re.IGNORECASE),
+    re.compile(r"\b(got)(ta)\b", re.IGNORECASE),
+    re.compile(r"\b(lem)(me)\b", re.IGNORECASE),
+    re.compile(r"\b(wan)(na)\b", re.IGNORECASE),
+    re.compile(r"\b(gim)(me)\b", re.IGNORECASE),
+]
+
+
+def ptb_tokenize_raw(text: str) -> List[str]:
+    """Penn-Treebank word tokenization of one caption (the rules the
+    Stanford PTBTokenizer applies to plain text), lowercased like the
+    ``-lowerCase`` flag pycocoevalcap passes.  No punctuation filtering."""
+    t = " " + text.replace("\n", " ") + " "
+    for pat, rep in _PTB_STARTING_QUOTES:
+        t = pat.sub(rep, t)
+    for pat, rep in _PTB_PUNCT_RULES:
+        t = pat.sub(rep, t)
+    for pat, rep in _PTB_BRACKETS:
+        t = pat.sub(rep, t)
+    t = " " + t + " "
+    for pat, rep in _PTB_ENDING_QUOTES:
+        t = pat.sub(rep, t)
+    for pat in _PTB_CONTRACTIONS:
+        t = pat.sub(r"\1 \2", t)
+    return t.lower().split()
+
+
 def ptb_tokenize(text: str) -> List[str]:
-    """PTB-style tokenization approximation (lowercase, split punctuation,
-    keep contractions attached like PTBTokenizer's n't/'s handling)."""
-    t = text.lower().strip()
-    t = re.sub(r"([.,!?;:])", r" \1 ", t)
-    t = re.sub(r"\(", " -lrb- ", t)
-    t = re.sub(r"\)", " -rrb- ", t)
-    t = re.sub(r"(n't)\b", r" \1", t)
-    t = re.sub(r"'(s|re|ve|ll|d|m)\b", r" '\1", t)
-    toks = t.split()
-    return [w for w in toks if w not in {p.lower() for p in _PUNCT}]
+    """PTB tokenization + pycocoevalcap's punctuation filter
+    (``tokenizer/ptbtokenizer.py``: tokens in PUNCTUATIONS are dropped).
+
+    Quirk preserved: the reference filter list holds UPPERCASE bracket
+    tokens while the jar's -lowerCase output is lowercase, so ``-lrb-``
+    etc. are NOT removed — we reproduce that exactly, since the filter
+    feeds every caption metric."""
+    return [w for w in ptb_tokenize_raw(text) if w not in _PUNCT]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -174,6 +232,99 @@ def meteor_available() -> bool:
     return shutil.which("java") is not None
 
 
+# ---------------------------------------------------------------------------
+# METEOR (pure python: exact + Porter-stem modules)
+# ---------------------------------------------------------------------------
+#
+# Implements METEOR with the original published scoring (Banerjee & Lavie
+# 2005: Fmean = 10PR/(R+9P) i.e. alpha=0.9, penalty = 0.5·(chunks/matches)³)
+# and the 1.x matcher-module weighting (exact 1.0, stem 0.6).  The 1.5 jar
+# additionally runs WordNet synonym/paraphrase modules (data unavailable
+# offline) and a function-word discount — omitted, so absolute values
+# differ somewhat from jar-produced numbers; ordering tracks closely.
+# System score micro-averages the sufficient statistics over segments, as
+# the jar's final score does.
+
+_MET_ALPHA, _MET_BETA, _MET_GAMMA = 0.9, 3.0, 0.5
+_MET_WEIGHTS = (1.0, 0.6)  # exact, stem
+
+
+def _meteor_align(hyp: List[str], ref: List[str]):
+    """Stage-wise greedy alignment.  Returns (weighted_matches, n_matches,
+    n_chunks) — matches in stage order exact → stem, each hyp/ref word
+    used at most once, chunks counted on the final alignment."""
+    from hero_tpu.evaluation.porter import porter_stem
+    h_used = [False] * len(hyp)
+    r_used = [False] * len(ref)
+    align = {}  # hyp idx -> ref idx
+    weighted = 0.0
+    for w, key in zip(_MET_WEIGHTS,
+                      (lambda t: t, porter_stem)):
+        r_keys = [key(t) for t in ref]
+        for i, t in enumerate(hyp):
+            if h_used[i]:
+                continue
+            ht = key(t)
+            for j, rt in enumerate(r_keys):
+                if not r_used[j] and ht == rt:
+                    h_used[i] = True
+                    r_used[j] = True
+                    align[i] = j
+                    weighted += w
+                    break
+    m = len(align)
+    if m == 0:
+        return 0.0, 0, 0
+    chunks = 0
+    prev = None
+    for i in sorted(align):
+        if prev is None or align[i] != align[prev] + 1 or i != prev + 1:
+            chunks += 1
+        prev = i
+    return weighted, m, chunks
+
+
+def meteor(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]]
+           ) -> float:
+    """Corpus METEOR over tokenized hypotheses/references (best reference
+    per segment; system score from summed statistics)."""
+    tot_w_h = tot_w_r = tot_hlen = tot_rlen = 0.0
+    tot_m = tot_ch = 0
+    for key, hyp in res.items():
+        best = None
+        for ref in gts[key]:
+            w, m, ch = _meteor_align(hyp, ref)
+            p = w / len(hyp) if hyp else 0.0
+            r = w / len(ref) if ref else 0.0
+            if p + r:
+                f = p * r / (_MET_ALPHA * p + (1 - _MET_ALPHA) * r)
+            else:
+                f = 0.0
+            pen = _MET_GAMMA * (ch / m) ** _MET_BETA if m else 0.0
+            score = (1 - pen) * f
+            cand = (score, w, m, ch, len(ref))
+            if best is None or cand[0] > best[0]:
+                best = cand
+        if best is None:
+            continue
+        _, w, m, ch, rlen = best
+        tot_w_h += w
+        tot_w_r += w
+        tot_hlen += len(hyp)
+        tot_rlen += rlen
+        tot_m += m
+        tot_ch += ch
+    if not tot_hlen or not tot_rlen or not tot_m:
+        return 0.0
+    p = tot_w_h / tot_hlen
+    r = tot_w_r / tot_rlen
+    if p + r == 0:
+        return 0.0
+    f = p * r / (_MET_ALPHA * p + (1 - _MET_ALPHA) * r)
+    pen = _MET_GAMMA * (tot_ch / tot_m) ** _MET_BETA
+    return (1 - pen) * f
+
+
 class TVCEval:
     """Caption evaluator (reference eval/tvc.py:17-51): preload refs, score
     a submission of {"clip_id": ..., "descs": [{"desc": str}]} records."""
@@ -203,13 +354,7 @@ class TVCEval:
             "ROUGE-L": round(rouge_l(gts, res), 4),
             "CIDEr": round(cider_d(gts, res), 4),
         }
-        if meteor_available():
-            out["METEOR"] = self._meteor(gts, res)
-        else:
-            LOGGER.warning("java not found — METEOR skipped")
+        # pure-python METEOR (exact + Porter-stem modules, METEOR-1.5 en
+        # parameters; see meteor() docstring for the delta vs the jar)
+        out["METEOR"] = round(meteor(gts, res), 4)
         return out
-
-    def _meteor(self, gts, res):  # pragma: no cover - requires java
-        raise NotImplementedError(
-            "METEOR jar integration requires meteor-1.5.jar; "
-            "install java + jar and wire here")

@@ -55,7 +55,17 @@ def save_params(path: str, params) -> None:
 
 def load_params(path: str) -> Any:
     with np.load(path) as z:
-        return unflatten_tree({k: z[k] for k in z.files})
+        return unflatten_tree({k: z[k] for k in z.files
+                               if not k.startswith("__")})
+
+
+def checkpoint_vocab_padded(path: str) -> Optional[bool]:
+    """Read the ``vocab_padded`` marker from a ModelSaver checkpoint;
+    None if the checkpoint predates the marker."""
+    with np.load(path) as z:
+        if "__vocab_padded__" in z.files:
+            return bool(z["__vocab_padded__"])
+    return None
 
 
 class ModelSaver:
@@ -69,7 +79,16 @@ class ModelSaver:
     def save(self, params, step: int) -> str:
         path = os.path.join(self.output_dir,
                             f"{self.prefix}_{step}.{self.suffix}")
-        save_params(path, params)
+        host = jax.tree.map(np.asarray, params)
+        flat = flatten_tree(host)
+        # vocab_padded marker (reference ModelSaver.save,
+        # utils/save.py:112-133): record whether the tied word embedding
+        # was padded to a multiple of 8 rows, so downstream consumers know
+        # to strip the pad.
+        padded = any(v.shape[0] % 8 == 0 for k, v in flat.items()
+                     if k.endswith("word_emb"))
+        flat["__vocab_padded__"] = np.asarray(padded)
+        np.savez(path, **flat)
         return path
 
 

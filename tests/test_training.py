@@ -166,6 +166,21 @@ def test_model_saver_roundtrip(tmp_path):
     loaded = save_lib.load_params(path)
     np.testing.assert_array_equal(loaded["a"]["b"],
                                   np.asarray(params["a"]["b"]))
+    assert "__vocab_padded__" not in loaded.get("a", {})
+
+
+def test_model_saver_vocab_padded_marker(tmp_path):
+    """Checkpoints record whether the tied word embedding was padded to a
+    multiple of 8 rows (reference ModelSaver.save, utils/save.py:112-133)."""
+    saver = save_lib.ModelSaver(str(tmp_path))
+    padded = {"embeddings": {"word_emb": jnp.zeros((50272, 8))}}
+    p1 = saver.save(padded, 1)
+    assert save_lib.checkpoint_vocab_padded(p1) is True
+    unpadded = {"embeddings": {"word_emb": jnp.zeros((50265, 8))}}
+    p2 = saver.save(unpadded, 2)
+    assert save_lib.checkpoint_vocab_padded(p2) is False
+    # marker never leaks back into the loaded pytree
+    assert "__vocab_padded__" not in save_lib.load_params(p1)
 
 
 def test_tensor_parallel_train_step():
