@@ -81,6 +81,9 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--bucket_frames_per_sub", default=16, type=int)
     p.add_argument("--bucket_query_len", default=32, type=int)
     p.add_argument("--bucket_max_masked", default=12, type=int)
+    p.add_argument("--second_bucket", action="store_true",
+                   help="route videos the primary bucket would truncate "
+                        "to a second, larger compiled bucket (pretrain)")
     return p
 
 

@@ -37,10 +37,17 @@ class BatchSampler:
         idx = list(range(self.n))
         rng.shuffle(idx)
         idx = idx[self.rank::self.world]
+        if 0 < len(idx) < self.bs:
+            # fewer items than one fixed-shape batch (e.g. a small
+            # second-bucket shard): wrap-fill to exactly one batch —
+            # an empty epoch would make __iter__ spin forever
+            idx = (idx * -(-self.bs // len(idx)))[:self.bs]
         return [idx[i:i + self.bs] for i in range(0, len(idx) - self.bs + 1,
                                                   self.bs)]
 
     def __iter__(self) -> Iterator[Tuple[int, List[int]]]:
+        if self.n == 0:
+            raise ValueError("BatchSampler over an empty dataset")
         epoch = 0
         while True:
             for b in self.epoch_batches(epoch):
@@ -66,15 +73,36 @@ class MetaLoader:
         self.accum_steps = accum_steps
         self.rng = random.Random(seed)
         self.step = 0
+        self._task = self.sampling_pools[0]
+
+    def fast_forward(self, n_micro_batches: int) -> None:
+        """Resume support: replay the first ``n_micro_batches`` task draws
+        (same seeded RNG → identical sequence) and skip the corresponding
+        batches in every task iterator WITHOUT building them, so a resumed
+        run continues the exact task/batch schedule instead of replaying it
+        from the start.  Call before iterating."""
+        assert self.step == 0, "fast_forward must precede iteration"
+        counts: Dict[str, int] = {}
+        for s in range(n_micro_batches):
+            if s % self.accum_steps == 0:
+                self._task = self.rng.choice(self.sampling_pools)
+            counts[self._task] = counts.get(self._task, 0) + 1
+        self.step = n_micro_batches
+        for name, c in counts.items():
+            it = self.name2iter[name]
+            if hasattr(it, "skip"):
+                it.skip(c)
+            else:
+                for _ in range(c):
+                    next(it)
 
     def __iter__(self):
-        task = self.sampling_pools[0]
         while True:
             if self.step % self.accum_steps == 0:
-                task = self.rng.choice(self.sampling_pools)
+                self._task = self.rng.choice(self.sampling_pools)
             self.step += 1
-            batch = next(self.name2iter[task])
-            yield task, batch
+            batch = next(self.name2iter[self._task])
+            yield self._task, batch
 
 
 class PrefetchLoader:
@@ -113,12 +141,35 @@ class PrefetchLoader:
             yield item
 
 
+class DatasetIterator:
+    """Infinite (epoch-aware) batch iterator over a task dataset, with
+    cheap ``skip`` for schedule-exact resume (index batches are advanced
+    without touching the dataset)."""
+
+    def __init__(self, dataset, batch_builder: Callable, batch_size: int,
+                 seed: int = 0, rank: int = 0, world_size: int = 1):
+        self.dataset = dataset
+        self.batch_builder = batch_builder
+        self._sampler_it = iter(BatchSampler(len(dataset), batch_size,
+                                             seed=seed, rank=rank,
+                                             world_size=world_size))
+
+    def skip(self, n: int) -> None:
+        for _ in range(n):
+            next(self._sampler_it)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        epoch, indices = next(self._sampler_it)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        return self.batch_builder(self.dataset, indices)
+
+
 def dataset_iterator(dataset, batch_builder: Callable, batch_size: int,
                      seed: int = 0, rank: int = 0, world_size: int = 1):
     """Infinite (epoch-aware) batch iterator over a task dataset."""
-    sampler = BatchSampler(len(dataset), batch_size, seed=seed, rank=rank,
-                           world_size=world_size)
-    for epoch, indices in sampler:
-        if hasattr(dataset, "set_epoch"):
-            dataset.set_epoch(epoch)
-        yield batch_builder(dataset, indices)
+    return DatasetIterator(dataset, batch_builder, batch_size, seed=seed,
+                           rank=rank, world_size=world_size)

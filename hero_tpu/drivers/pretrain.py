@@ -70,15 +70,63 @@ def build_targets(opts):
     return out, ratios
 
 
+def _bucketize(opts, video_dbs):
+    """Optional second compiled bucket (``--second_bucket``): videos the
+    primary FixedShapes would truncate are routed to a larger bucket sized
+    by :func:`suggest_shapes` at full coverage, so no TV/HowTo100M data is
+    silently dropped (the reference keeps everything by padding ragged
+    batches to the in-batch max, data/data.py:326-403).  Returns
+    {target: (video_db, fit_vids, big_db, big_vids)}."""
+    from hero_tpu.data.video import (VideoFeatSubTokDataset, suggest_shapes,
+                                     video_fits_bucket)
+    out = {}
+    for tgt, db in video_dbs.items():
+        vids = list(db.txt_db.id2len.keys())
+        if not getattr(opts, "second_bucket", False):
+            out[tgt] = (db, vids, None, [])
+            continue
+        fit = [v for v in vids if video_fits_bucket(db, v)]
+        big = [v for v in vids if v not in set(fit)]
+        if not big:
+            out[tgt] = (db, vids, None, [])
+            continue
+        big_shapes = suggest_shapes(db.txt_db, coverage=1.0,
+                                    max_txt_len=db.max_txt_len,
+                                    sub_ctx_len=db.sub_ctx_len,
+                                    base=db.shapes)
+        big_db = VideoFeatSubTokDataset(db.txt_db, db.img_db, big_shapes,
+                                        max_txt_len=db.max_txt_len,
+                                        sub_ctx_len=db.sub_ctx_len)
+        LOGGER.info("target %r: %d/%d videos exceed the primary bucket; "
+                    "second bucket %s", tgt, len(big), len(vids),
+                    big_shapes)
+        out[tgt] = (db, fit, big_db, big)
+    return out
+
+
 def build_task_datasets(opts, video_dbs, name_ratios=None):
     tasks = {}
     if name_ratios is None:
         ratios = getattr(opts, "task_ratios", None) or DEFAULT_TASKS
         name_ratios = {f"{t}@": r for t, r in ratios.items()}
+    buckets = _bucketize(opts, video_dbs)
+    expanded = {}
     for name, ratio in name_ratios.items():
         task, _, tgt = name.partition("@")
-        video_db = video_dbs.get(tgt) or video_dbs[""]
-        vids = list(video_db.txt_db.id2len.keys())
+        db, fit, big_db, big = buckets.get(tgt) or buckets[""]
+        if big_db is None:
+            expanded[name] = (ratio, db, fit)
+            continue
+        # split the ratio between buckets proportionally to video counts
+        # (granularity 8 keeps the sampling pool small); the big bucket
+        # always gets ≥1 so its videos are actually trained on
+        total = len(fit) + len(big)
+        r_big = max(1, round(8 * ratio * len(big) / total))
+        r_fit = max(1, 8 * ratio - r_big)
+        expanded[name] = (r_fit, db, fit)
+        expanded[name + "#big"] = (r_big, big_db, big)
+    for name, (ratio, video_db, vids) in expanded.items():
+        task = name.partition("@")[0]
         if task == "vsm":
             ds = pt.VsmDataset(vids, video_db,
                                query_per_video=getattr(
@@ -172,7 +220,12 @@ def main(opts):
         for t, (ds, ratio) in task_datasets.items()
     }
     meta = MetaLoader(loaders, accum_steps=accum, seed=opts.seed)
-    loader = PrefetchLoader(iter(meta), device_put=lambda b: b)
+    if restorer.global_step:
+        # resume replays the exact task/batch schedule: identical seeded
+        # RNG draws + cheap index-level skip in every task iterator
+        meta.fast_forward(restorer.global_step * accum)
+    # run_training prefetches + device_puts in its own thread
+    loader = iter(meta)
 
     def validate(state, step):
         from hero_tpu.evaluation.pretrain_val import validate_pretrain
@@ -194,6 +247,14 @@ def main(opts):
     common.run_training(opts, mesh, step_fns, state, loader,
                         extras_fn=curriculum.at, validate_fn=validate,
                         saver=saver, restorer=restorer)
+    # bucket audit: how much data the fixed shapes dropped (with
+    # --second_bucket, oversized videos are routed instead of truncated)
+    for tgt, db in video_dbs.items():
+        rep = db.truncation_report()
+        if rep["videos_seen"]:
+            LOGGER.info("bucket truncation [%s]: %s", tgt or "default",
+                        {k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in rep.items()})
 
 
 if __name__ == "__main__":

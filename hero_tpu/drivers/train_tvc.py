@@ -87,6 +87,10 @@ def main(opts):
     def batches():
         it = dataset_iterator(train_ds, build_tvc_batch,
                               opts.train_batch_size, seed=opts.seed)
+        if restorer.global_step:
+            it.skip(restorer.global_step
+                    * max(getattr(opts, "gradient_accumulation_steps", 1),
+                          1))
         for batch in it:
             yield "tvc", {k: v for k, v in batch.items()
                           if not k.startswith("__")}
@@ -121,7 +125,7 @@ def main(opts):
                     len(gen), path, scores)
 
     common.run_training(opts, mesh, step_fn, state,
-                        PrefetchLoader(batches(), device_put=lambda b: b),
+                        batches(),
                         validate_fn=validate, saver=saver,
                         restorer=restorer)
 

@@ -22,6 +22,10 @@ from hero_tpu.data.downstream_tasks import (VcmrDataset,
                                             build_batch)
 from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
 from hero_tpu.data.store import QueryTokStore
+
+# swapped to MsrvttQueryTokStore by drivers/train_vr.py (reference train_vr
+# uses MsrvttQueryTokLmdb, data/vr.py:50-61)
+QUERY_STORE_CLS = QueryTokStore
 from hero_tpu.data.video import stack_items
 from hero_tpu.drivers import common
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
@@ -92,7 +96,7 @@ def main(opts):
     else:
         video_db = common.load_video_sub_dataset(opts, shapes)
         train_vids = list(video_db.txt_db.id2len.keys())
-    query_db = QueryTokStore(opts.train_query_txt_db,
+    query_db = QUERY_STORE_CLS(opts.train_query_txt_db,
                              max_txt_len=opts.max_txt_len)
     train_ds = VcmrDataset(train_vids, video_db,
                            query_db, sampled_by_q=True, seed=opts.seed)
@@ -143,30 +147,46 @@ def main(opts):
     def batches():
         it = dataset_iterator(train_ds, build_batch,
                               opts.train_batch_size)
+        if restorer.global_step:
+            it.skip(restorer.global_step * accum)
         for batch in it:
             batch = {k: v for k, v in batch.items()
                      if not k.startswith("__")}
             yield "tvr", batch
 
     rng = jax.random.PRNGKey(opts.seed + 1)
-    loader = PrefetchLoader(batches(), device_put=lambda b: b)
     global_step = int(jax.device_get(state.global_step))
     t0, n_ex = time.time(), 0
-    micro = []
-    for _, batch in loader:
-        micro.append(batch)
-        if len(micro) < accum:
-            continue
-        cur = curriculum.at(global_step)
-        if accum > 1:
-            stacked = {k: np.stack([m[k] for m in micro])
-                       for k in micro[0]}
-            stacked.update({k: jnp.broadcast_to(v, (accum,) + v.shape)
-                            for k, v in cur.items()})
-        else:
-            stacked = dict(micro[0])
-            stacked.update(cur)
+
+    def assembled():
+        """Stack the accum window + curriculum in the prefetch thread; the
+        sharded device_put below also runs there, hiding H2D behind the
+        running step."""
         micro = []
+        step_ord = global_step
+        for _, batch in batches():
+            micro.append(batch)
+            if len(micro) < accum:
+                continue
+            cur = curriculum.at(step_ord)
+            if accum > 1:
+                stacked = {k: np.stack([m[k] for m in micro])
+                           for k in micro[0]}
+                stacked.update({
+                    k: np.broadcast_to(np.asarray(v), (accum,) + np.shape(v))
+                    for k, v in cur.items()})
+            else:
+                stacked = dict(micro[0])
+                stacked.update(cur)
+            micro = []
+            yield "tvr", stacked
+            step_ord += 1
+
+    # assembly in the prefetch thread; device_put on the main loop (async
+    # dispatch overlaps the in-flight step; background-thread transfers
+    # deadlock the tunneled runtime — see drivers/common.run_training)
+    loader = PrefetchLoader(assembled(), device_put=lambda b: b)
+    for _, stacked in loader:
         sharded = shard_task_batch(stacked, mesh, accum)
         state, metrics = step_fn(state, sharded,
                                  jax.random.fold_in(rng, global_step))
@@ -196,7 +216,7 @@ def main(opts):
 def run_validation(state, cfg, vsm, video_db, opts, step):
     if not getattr(opts, "val_query_txt_db", None):
         return
-    val_qdb = QueryTokStore(opts.val_query_txt_db,
+    val_qdb = QUERY_STORE_CLS(opts.val_query_txt_db,
                             max_txt_len=opts.max_txt_len)
     (vb, qb, video_ids, v2i_global, qdata) = build_eval_inputs(
         video_db, val_qdb, opts)

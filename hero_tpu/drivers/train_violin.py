@@ -86,6 +86,10 @@ def main(opts):
             train_ds,
             lambda ds, idx: build_batch(ds, idx, flatten_rows=True),
             opts.train_batch_size, seed=opts.seed)
+        if restorer.global_step:
+            it.skip(restorer.global_step
+                    * max(getattr(opts, "gradient_accumulation_steps", 1),
+                          1))
         for batch in it:
             b = {k: v for k, v in batch.items() if not k.startswith("__")}
             b["targets"] = np.asarray(b["targets"]).reshape(-1)
@@ -118,7 +122,7 @@ def main(opts):
         LOGGER.info("[step %d] violin val: %s", step, log)
 
     common.run_training(opts, mesh, step_fn, state,
-                        PrefetchLoader(batches(), device_put=lambda b: b),
+                        batches(),
                         validate_fn=validate, saver=saver,
                         restorer=restorer)
 

@@ -115,6 +115,12 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Replicate train state over the mesh; if the mesh carries a 'model'
     axis, tensor-parallel-shard the transformer weights (and their AdamW
     moments) per :func:`hero_tpu.parallel.mesh.tp_param_spec`."""
+    if mesh.devices.size == 1:
+        # single-device mesh: the arrays already live on (or will be
+        # transferred to) the only device; per-leaf sharded device_put
+        # costs a tunnel round-trip PER LEAF (~300 leaves ≈ minutes on
+        # the tunneled runtime) for a no-op placement.
+        return state
     if "model" in mesh.axis_names:
         from hero_tpu.parallel.mesh import tp_param_spec
         spec = tp_param_spec(state.params)

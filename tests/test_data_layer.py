@@ -94,6 +94,43 @@ def test_mlm_masks_deterministic_and_valid(video_db):
     n_subs = int(a["sub_mask"].sum())
     for row in range(n_subs):
         assert (a["mlm_labels"][row] >= 0).any()
+    # MLM rows lead with [CLS] (reference create_mlm_io cls_tok=True,
+    # data/mlm.py:66-74) — every other task leads with [SEP]
+    cls_tok = video_db.txt_db.cls_
+    for row in range(n_subs):
+        assert a["sub_input_ids"][row, 0] == cls_tok
+    plain = video_db.video_item(vids[0])
+    assert plain["sub_input_ids"][0, 0] == video_db.txt_db.sep
+
+
+def test_msrvtt_query_store_keying(tmp_path):
+    """MsrvttQueryTokStore keys query_data by sen_id, falling back to
+    retrieval_key (reference MsrvttQueryTokLmdb, data/vr.py:50-61)."""
+    import json
+    from hero_tpu.data.store import HeroStoreWriter, MsrvttQueryTokStore
+
+    def make_db(d, rows):
+        with HeroStoreWriter(str(d)) as w:
+            w.put("q0", {"input_ids": [5, 6]})
+        with open(d / "meta.json", "w") as f:
+            json.dump({"CLS": 0, "SEP": 2, "PAD": 1}, f)
+        with open(d / "id2len.json", "w") as f:
+            json.dump({"q0": 2}, f)
+        with open(d / "query_data.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    d1 = tmp_path / "sen"
+    d1.mkdir()
+    make_db(d1, [{"sen_id": 17, "desc_id": 3, "desc": "a"}])
+    st = MsrvttQueryTokStore(str(d1))
+    assert "17" in st.query_data and "3" not in st.query_data
+
+    d2 = tmp_path / "rk"
+    d2.mkdir()
+    make_db(d2, [{"retrieval_key": "r9", "desc": "b"}])
+    st2 = MsrvttQueryTokStore(str(d2))
+    assert "r9" in st2.query_data
 
 
 def test_vcmr_vr_datasets(video_db, corpus, cfg, params):
@@ -191,6 +228,90 @@ def test_meta_loader_and_prefetch(video_db):
     pf = PrefetchLoader(zip(["x"] * 3, ({"a": np.ones(2)},) * 3))
     out = list(pf)
     assert len(out) == 3 and out[0][0] == "x"
+
+
+def test_truncation_audit_and_bucket_suggestion(corpus):
+    """A too-small bucket is detected: counters increment (not debug logs)
+    and suggest_shapes returns a bucket covering the whole corpus
+    (VERDICT round-1 weak #4)."""
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import (VideoFeatSubTokDataset, suggest_shapes,
+                                     video_fits_bucket)
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    tiny = SHAPES.replace(n_subs=1, txt_len=6, frames_per_sub=2)
+    db = VideoFeatSubTokDataset(sub, vfeat, tiny, max_txt_len=20,
+                                sub_ctx_len=1)
+    for vid in db.vids:
+        db.video_item(vid)
+    rep = db.truncation_report()
+    assert rep["videos_seen"] == len(db.vids)
+    assert rep["videos_truncated"] > 0
+    assert (rep["subs_dropped"] + rep["frames_dropped"]
+            + rep["txt_tokens_dropped"]) > 0
+    assert not any(video_fits_bucket(db, v) for v in db.vids)
+
+    # a bucket sized at full coverage truncates nothing
+    full = suggest_shapes(sub, coverage=1.0, max_txt_len=20, sub_ctx_len=1,
+                          base=tiny)
+    db2 = VideoFeatSubTokDataset(sub, vfeat, full, max_txt_len=20,
+                                 sub_ctx_len=1)
+    for vid in db2.vids:
+        db2.video_item(vid)
+        assert video_fits_bucket(db2, vid), vid
+    assert db2.truncation_report()["videos_truncated"] == 0
+
+
+def test_pretrain_second_bucket_partition(corpus):
+    """--second_bucket routes oversized videos to a larger compiled bucket
+    instead of silently truncating them."""
+    from types import SimpleNamespace
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import VideoFeatSubTokDataset
+    from hero_tpu.drivers.pretrain import build_task_datasets
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    tiny = SHAPES.replace(n_subs=2, txt_len=8)
+    db = VideoFeatSubTokDataset(sub, vfeat, tiny, max_txt_len=20,
+                                sub_ctx_len=1)
+    opts = SimpleNamespace(second_bucket=True, seed=0, query_per_video=2,
+                           task_ratios={"mlm": 2, "vsm": 1})
+    tasks = build_task_datasets(opts, {"": db})
+    assert any(name.endswith("#big") for name in tasks)
+    small_ds, _ = tasks["mlm"]
+    big_ds, _ = tasks["mlm@#big"]
+    assert set(small_ds.ids).isdisjoint(big_ds.ids)
+    assert set(small_ds.ids) | set(big_ds.ids) == set(db.vids)
+    assert big_ds.video_db.shapes.n_subs > tiny.n_subs
+    # big-bucket items build without truncation
+    item = big_ds[0]
+    assert item["sub_input_ids"].shape[0] == big_ds.video_db.shapes.n_subs
+
+
+def test_meta_loader_resume_schedule(video_db):
+    """Interrupted-vs-uninterrupted equivalence: a MetaLoader fast-forwarded
+    past N micro-batches continues with the exact same task AND batch
+    sequence the uninterrupted run produces (VERDICT item 9)."""
+    vids = list(video_db.txt_db.id2len.keys())
+
+    def make():
+        return MetaLoader({
+            "mlm": (dataset_iterator(pt.MlmDataset(vids, video_db),
+                                     pt.build_batch, 2), 2),
+            "fom": (dataset_iterator(pt.FomDataset(vids, video_db),
+                                     pt.build_batch, 2), 1),
+        }, accum_steps=2, seed=7)
+
+    full = make()
+    ref = [(t, b) for (t, b), _ in zip(iter(full), range(24))]
+
+    resumed = make()
+    resumed.fast_forward(10)
+    cont = [(t, b) for (t, b), _ in zip(iter(resumed), range(14))]
+    for (t_ref, b_ref), (t_got, b_got) in zip(ref[10:], cont):
+        assert t_ref == t_got
+        for k in b_ref:
+            np.testing.assert_array_equal(b_ref[k], b_got[k])
 
 
 def test_load_data_facade(corpus):
