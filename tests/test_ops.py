@@ -63,6 +63,68 @@ def test_multi_head_attention_dispatcher_cpu():
     assert out.shape == (B, H, L, d)
 
 
+def test_packed_attention_matches_reference():
+    """v3 packed-layout kernel (interpret mode) vs the reshaped jnp path."""
+    from hero_tpu.ops.attention import packed_attention
+    rng = jax.random.PRNGKey(11)
+    B, L, H, d = 2, 56, 4, 16
+    q, k, v = jax.random.normal(rng, (3, B, L, H * d), dtype=jnp.float32)
+    mask = jnp.ones((B, L)).at[0, 40:].set(0.0)
+    out_r = packed_attention(q, k, v, H, mask, use_pallas=False)
+    out_p = packed_attention(q, k, v, H, mask, use_pallas=True)
+    assert out_r.shape == (B, L, H * d)
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5, rtol=2e-5)
+    # causal
+    oc_r = packed_attention(q, k, v, H, mask, causal=True,
+                            use_pallas=False)
+    oc_p = packed_attention(q, k, v, H, mask, causal=True, use_pallas=True)
+    np.testing.assert_allclose(oc_p, oc_r, atol=2e-5, rtol=2e-5)
+
+
+def test_packed_attention_grads_match():
+    from hero_tpu.ops.attention import packed_attention
+    rng = jax.random.PRNGKey(12)
+    B, L, H, d = 1, 56, 2, 16
+    q, k, v = jax.random.normal(rng, (3, B, L, H * d), dtype=jnp.float32)
+    mask = jnp.ones((B, L)).at[:, 48:].set(0.0)
+
+    def lp(q, k, v):
+        return jnp.sum(packed_attention(q, k, v, H, mask,
+                                        use_pallas=True) ** 2)
+
+    def lr(q, k, v):
+        return jnp.sum(packed_attention(q, k, v, H, mask,
+                                        use_pallas=False) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_packed_attention_dropout_deterministic():
+    """In-kernel dropout: same rng → identical output; bwd regenerates the
+    identical mask (finite, deterministic grads).  The TPU PRNG primitives
+    have no CPU interpret lowering, so this runs only on real TPU (the
+    verify drive covers it there)."""
+    from hero_tpu.ops.attention import packed_attention
+    if jax.default_backend() != "tpu":
+        pytest.skip("pltpu.prng_seed has no CPU interpret lowering")
+    rng = jax.random.PRNGKey(13)
+    B, L, H, d = 2, 16, 2, 8
+    q, k, v = jax.random.normal(rng, (3, B, L, H * d), dtype=jnp.float32)
+    dr = jax.random.PRNGKey(5)
+    o1 = packed_attention(q, k, v, H, dropout_rate=0.3, dropout_rng=dr,
+                          use_pallas=True)
+    o2 = packed_attention(q, k, v, H, dropout_rate=0.3, dropout_rng=dr,
+                          use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    g = jax.grad(lambda qq: jnp.sum(packed_attention(
+        qq, k, v, H, dropout_rate=0.3, dropout_rng=dr,
+        use_pallas=True) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_layer_norm_matches_reference():
     rng = jax.random.PRNGKey(4)
     x = jax.random.normal(rng, (10, 3, 256)) * 3 + 1
