@@ -102,6 +102,16 @@ def apply_layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return _fused_layer_norm(x, p["scale"], p["bias"], eps)
 
 
+def dropout_add_layer_norm(p: Params, y: jax.Array, x: jax.Array,
+                           rate: float, rng: Optional[jax.Array],
+                           eps: float = 1e-5) -> jax.Array:
+    """``LN(dropout(y) + x)`` — fused Pallas kernel on TPU, jnp elsewhere
+    (the transformer's post-sublayer residual pattern)."""
+    from hero_tpu.ops.layernorm import dropout_add_layer_norm as _daln
+    return _daln(y, x, p["scale"], p["bias"],
+                 rate=rate if rng is not None else 0.0, rng=rng, eps=eps)
+
+
 def dropout(x: jax.Array, rate: float,
             rng: Optional[jax.Array]) -> jax.Array:
     if rng is None or rate <= 0.0:

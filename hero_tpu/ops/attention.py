@@ -80,9 +80,15 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _dropout_keep_mask(shape, rate: float):
-    """Uniform keep mask from the already-seeded TPU PRNG."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Uniform keep mask from the already-seeded TPU PRNG.
+
+    ``prng_random_bits`` returns SIGNED int32 and ``>>`` is an arithmetic
+    shift — a plain ``bits >> 8`` keeps the sign, sending half the draws
+    negative (always dropped: effective rate 0.5 + rate/2, e.g. 0.6 for
+    rate 0.1).  Use a logical shift so u is uniform in [0, 1)."""
+    bits = pltpu.prng_random_bits(shape)  # int32
+    u = (jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
+         * (1.0 / (1 << 24)))
     return u >= rate
 
 

@@ -125,6 +125,46 @@ def test_packed_attention_dropout_deterministic():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_dropout_add_layer_norm_fused():
+    """Fused LN(dropout(y)+x): interpret-mode kernel (rate=0) vs jnp; the
+    dropout path needs the TPU PRNG, covered by the TPU drive."""
+    from hero_tpu.ops.layernorm import dropout_add_layer_norm
+    rng = jax.random.PRNGKey(20)
+    y = jax.random.normal(rng, (24, 128))
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (24, 128))
+    w = jax.random.normal(jax.random.fold_in(rng, 2), (128,)) + 1.0
+    b = jax.random.normal(jax.random.fold_in(rng, 3), (128,))
+    want = dropout_add_layer_norm(y, x, w, b, use_pallas=False)
+    got = dropout_add_layer_norm(y, x, w, b, use_pallas=True)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def lp(y, x, w, b):
+        return jnp.sum(dropout_add_layer_norm(y, x, w, b,
+                                              use_pallas=True) ** 3)
+
+    def lr(y, x, w, b):
+        return jnp.sum(dropout_add_layer_norm(y, x, w, b,
+                                              use_pallas=False) ** 3)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3))(y, x, w, b)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3))(y, x, w, b)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(a, b_, atol=5e-4, rtol=5e-4)
+
+
+def test_dropout_add_layer_norm_jnp_dropout():
+    """jnp fallback with dropout: mean preserved, zeros where dropped."""
+    from hero_tpu.ops.layernorm import dropout_add_layer_norm
+    y = jnp.ones((64, 32))
+    x = jnp.zeros((64, 32))
+    w = jnp.ones((32,))
+    b = jnp.zeros((32,))
+    out = dropout_add_layer_norm(y, x, w, b, rate=0.5,
+                                 rng=jax.random.PRNGKey(0),
+                                 use_pallas=False)
+    assert out.shape == (64, 32) and np.isfinite(np.asarray(out)).all()
+
+
 def test_layer_norm_matches_reference():
     rng = jax.random.PRNGKey(4)
     x = jax.random.normal(rng, (10, 3, 256)) * 3 + 1

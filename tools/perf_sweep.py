@@ -37,7 +37,8 @@ def run_variant(name, *, batch=32, remat=False, pallas_min_lk=None,
     cfg = bench.flagship_config()
     vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
                              drop_svmr_prob=drop_svmr)
-    shape = synthetic.BatchShape(batch=batch, n_subs=8, txt_len=40,
+    # matches bench.py's justified bucket (n_subs=16)
+    shape = synthetic.BatchShape(batch=batch, n_subs=16, txt_len=40,
                                  frames_per_sub=16, n_frames=100,
                                  n_queries=2, query_len=30)
     params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
