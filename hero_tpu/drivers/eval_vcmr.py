@@ -60,9 +60,13 @@ def main(args):
 
     vb, qb, video_ids, v2i, qdata = build_eval_inputs(video_db, query_db,
                                                       opts)
+    # multi-chip host: shard the corpus tensor over the local mesh so
+    # phase-2 scoring runs sharded (no-op on a single device)
+    from hero_tpu.parallel.mesh import get_mesh
+    mesh = get_mesh() if len(jax.devices()) > 1 else None
     val_log, submission, metrics = validate_full_vcmr(
         params, cfg, vsm, common.eval_opts_from(opts), vb, qb, video_ids,
-        v2i, qdata)
+        v2i, qdata, mesh=mesh)
     tag = os.path.basename(ckpt).replace("model_step_", "").replace(
         ".npz", "").replace(".pt", "")
     out_path = os.path.join(args.output_dir,

@@ -51,9 +51,17 @@ class VcmrEvalOpts:
 
 def embed_video_corpus(params, cfg: HeroConfig,
                        video_batches: Iterable[Dict[str, np.ndarray]],
-                       max_clip_len: int, dtype=jnp.bfloat16
-                       ) -> Tuple[jax.Array, jax.Array]:
-    """Phase 1: (Nv, max_clip_len, D) frame embeddings + masks."""
+                       max_clip_len: int, dtype=jnp.bfloat16,
+                       mesh=None) -> Tuple[jax.Array, jax.Array]:
+    """Phase 1: (Nv, max_clip_len, D) frame embeddings + masks.
+
+    With ``mesh`` (an in-process device mesh), the corpus is sharded over
+    the ``data`` axis — on a multi-chip host each chip holds Nv/n_dev
+    videos and phase 2's contractions/top-k run sharded, with XLA
+    inserting the cross-chip gathers for the selected videos (SURVEY §7
+    hard part: "shard the corpus over devices").  Nv is padded to a
+    device multiple with zero-mask rows, which score -1e4 and never enter
+    the top-k."""
     # params as a jit argument (not a closure constant — see phase 2)
     encode = jax.jit(lambda p, b: (
         vcmr_lib.encode_video_corpus(p, cfg, b, dtype=dtype),
@@ -64,14 +72,34 @@ def embed_video_corpus(params, cfg: HeroConfig,
         e, m = encode(params, jb)
         embs.append(e)
         masks.append(m)
-    return jnp.concatenate(embs, 0), jnp.concatenate(masks, 0)
+    frame_embs = jnp.concatenate(embs, 0)
+    frame_masks = jnp.concatenate(masks, 0)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.devices.size
+        nv = frame_embs.shape[0]
+        pad = (-nv) % n_dev
+        if pad:
+            frame_embs = jnp.pad(frame_embs,
+                                 ((0, pad), (0, 0), (0, 0)))
+            frame_masks = jnp.pad(frame_masks, ((0, pad), (0, 0)))
+        frame_embs = jax.device_put(
+            frame_embs, NamedSharding(mesh, P("data", None, None)))
+        frame_masks = jax.device_put(
+            frame_masks, NamedSharding(mesh, P("data", None)))
+    return frame_embs, frame_masks
 
 
 def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                       opts: VcmrEvalOpts, frame_embs: jax.Array,
-                      frame_masks: jax.Array, dtype=jnp.bfloat16):
-    """Phase-2 device function (jit once per query-batch shape)."""
-    n_videos = frame_embs.shape[0]
+                      frame_masks: jax.Array, dtype=jnp.bfloat16,
+                      n_real_videos: Optional[int] = None):
+    """Phase-2 device function (jit once per query-batch shape).
+
+    ``n_real_videos`` caps top-k below any sharding pad rows (see
+    embed_video_corpus)."""
+    n_videos = (n_real_videos if n_real_videos is not None
+                else frame_embs.shape[0])
     max_v = min(opts.max_vcmr_video, n_videos)
     L = frame_embs.shape[1]
     band = jnp.asarray(tvr_metrics.generate_min_max_length_mask(
@@ -121,7 +149,7 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
                        video_ids: List[str],
                        video2idx_global: Dict[str, int],
                        query_data: Dict[Any, dict],
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, mesh=None):
     """Run the full two-phase evaluation.
 
     ``query_batches`` yield dicts with numpy ``query_input_ids`` (N, Lq),
@@ -129,9 +157,10 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     per query, "" if unknown).  Returns (val_log, submission, metrics).
     """
     frame_embs, frame_masks = embed_video_corpus(
-        params, cfg, video_batches, opts.max_clip_len, dtype)
+        params, cfg, video_batches, opts.max_clip_len, dtype, mesh=mesh)
     scorer, max_v = make_query_scorer(params, cfg, vsm, opts, frame_embs,
-                                      frame_masks, dtype)
+                                      frame_masks, dtype,
+                                      n_real_videos=len(video_ids))
     video2idx_local = {v: i for i, v in enumerate(video_ids)}
     L = int(frame_embs.shape[1])
 

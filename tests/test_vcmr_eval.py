@@ -116,3 +116,47 @@ def test_span_decode_seconds(setup):
         assert ed % 2.0 == 0.0 and ed > st
         # length band respected: 1 <= (ed-st)/interval - ... span geq 1 frame
         assert (ed - st) / 2.0 >= 1
+
+
+def test_sharded_corpus_eval_matches_unsharded(setup):
+    """Serve-path corpus sharding: with the corpus split over the 8-device
+    mesh (videos padded to a device multiple with zero-mask rows), the
+    full VCMR eval produces the IDENTICAL submission and metrics as the
+    unsharded run (SURVEY §7: shard the corpus over devices)."""
+    from hero_tpu.parallel.mesh import get_mesh
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    n_videos = 6   # pads to 8 on the 8-device mesh
+    video_ids = [f"v{i}" for i in range(n_videos)]
+    video2idx = {v: i for i, v in enumerate(video_ids)}
+    r = np.random.RandomState(3)
+    n_q = 4
+    gt = [video_ids[r.randint(n_videos)] for _ in range(n_q)]
+    qd = {q: {"desc_id": q, "desc": "", "vid_name": gt[q],
+              "ts": [0.0, 4.5], "type": "v"} for q in range(n_q)}
+    qb = [{"qids": list(range(n_q)), "vids": gt,
+           "query_input_ids": r.randint(3, 128, (n_q, 6)).astype(np.int32),
+           "query_attn_masks": np.ones((n_q, 6), np.float32)}]
+    opts = VcmrEvalOpts(max_vcmr_video=6, min_pred_l=1, max_pred_l=8,
+                        max_before_nms=20, max_after_nms=10, nms_thd=-1,
+                        vfeat_interval=1.5, max_clip_len=shape.n_frames)
+
+    def batches():
+        return [synthetic.base_batch(shape, seed=10),
+                synthetic.base_batch(shape, seed=11)]
+
+    _, sub_ref, m_ref = validate_full_vcmr(
+        params, cfg, vsm, opts, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    _, sub_sh, m_sh = validate_full_vcmr(
+        params, cfg, vsm, opts, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32, mesh=mesh)
+    assert m_ref == m_sh
+    for task in ("VCMR", "VR"):
+        for a, b in zip(sub_ref[task], sub_sh[task]):
+            assert a["desc_id"] == b["desc_id"]
+            for pa, pb in zip(a["predictions"], b["predictions"]):
+                assert pa[:3] == pb[:3]
+                assert pa[3] == pytest.approx(pb[3], rel=1e-5)
