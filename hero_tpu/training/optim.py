@@ -156,7 +156,13 @@ def adamw_update(grads, state: AdamWState, params, lr,
 
 
 def clip_by_global_norm(grads, max_norm: float):
-    """torch.nn.utils.clip_grad_norm_ semantics; returns (grads, norm)."""
+    """torch.nn.utils.clip_grad_norm_ semantics; returns (grads, norm).
+
+    NOTE: batching the ~100 small-leaf (bias/LN) square-sums into one
+    concatenated reduction was measured perf-neutral on v5e (322.0 vs
+    322.15 ex/s at the bench shape) — XLA already fuses the small
+    reductions into neighboring fusions — so the simple per-leaf form
+    stays."""
     leaves = jax.tree.leaves(grads)
     norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                         for g in leaves))

@@ -49,22 +49,28 @@ def test_query_shard_partition():
 
 
 def test_two_process_eval_matches_single(tmp_path):
-    port = _free_port()
-    outs = [str(tmp_path / f"rank{r}.json") for r in range(2)]
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""}
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests",
-                                          "mp_eval_worker.py"),
-             str(r), "2", str(port), outs[r]],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            env=env)
-        for r in range(2)
-    ]
-    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-3000:]
+    outs = [str(tmp_path / f"rank{r}.json") for r in range(2)]
+    # gloo rendezvous can time out under heavy parallel-test CPU load;
+    # one retry with a fresh port keeps the test robust
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests",
+                                              "mp_eval_worker.py"),
+                 str(r), "2", str(port), outs[r]],
+                cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, env=env)
+            for r in range(2)
+        ]
+        logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, log in zip(procs, logs):
+                assert p.returncode == 0, log[-3000:]
 
     results = [json.load(open(o)) for o in outs]
     # both ranks computed the SAME merged metrics (the collective ran)
