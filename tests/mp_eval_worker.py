@@ -83,7 +83,8 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=nproc, process_id=rank)
+                               num_processes=nproc, process_id=rank,
+                               initialization_timeout=300)
     sys.path.insert(0, ".")
     val_log, metrics = run_eval(rank, nproc)
     with open(out, "w") as f:
