@@ -30,8 +30,9 @@ import bench
 
 
 def run_variant(name, *, batch=32, remat=False, pallas_min_lk=None,
-                drop_svmr=0.0, train=True, n_steps=20):
+                drop_svmr=0.0, train=True, n_steps=20, unroll=True):
     transformer.set_remat(remat)
+    transformer.UNROLL = unroll
     if pallas_min_lk is not None:
         attention.PALLAS_MIN_LK = pallas_min_lk
     cfg = bench.flagship_config()
@@ -87,6 +88,8 @@ VARIANTS = {
     "pallas56": dict(pallas_min_lk=48),
     "pallas48_drop": dict(pallas_min_lk=48, drop_svmr=0.8),
     "nopallas": dict(pallas_min_lk=129),
+    # measured: rolled scan = 129.7 ms vs 99.4 unrolled (bench shape)
+    "rolled": dict(unroll=False),
     "drop_svmr": dict(drop_svmr=0.8),
     "b64": dict(batch=64),
     "b128": dict(batch=128),
