@@ -53,8 +53,11 @@ def roberta_to_f_encoder(state_dict: Dict[str, Any], n_layers: int = 6,
     tree: Dict[str, Any] = {}
     p = "roberta"
 
-    word = _pad_vocab(sd[f"{p}.embeddings.word_embeddings.weight"],
-                      vocab_size)
+    raw_word = sd[f"{p}.embeddings.word_embeddings.weight"]
+    word = _pad_vocab(raw_word, vocab_size)
+    # actual pad decision, threaded to ModelSaver (not shape-inferred)
+    tree["__vocab_padded__"] = bool(
+        np.asarray(raw_word).shape[0] < vocab_size)
     _set(tree, "embeddings/word_emb", word)
     _set(tree, "embeddings/pos_emb",
          sd[f"{p}.embeddings.position_embeddings.weight"])

@@ -301,6 +301,14 @@ def convert_state_dict(state_dict: Dict[str, Any],
                   and not _is_buffer(k)]
     if unexpected:
         tree["__unexpected__"] = unexpected
+    # record whether _pad_vocab actually ADDED rows (reference ModelSaver
+    # sets vocab_padded from the applied pad decision, utils/save.py:119-127
+    # — inferring it later from shape % 8 would mislabel a naturally
+    # mult-of-8 vocab as padded)
+    word_key = "v_encoder.f_encoder.embeddings.word_embeddings.weight"
+    if word_key in sd:
+        tree["__vocab_padded__"] = bool(
+            np.asarray(sd[word_key]).shape[0] < vocab_size)
     return tree
 
 

@@ -31,19 +31,31 @@ class BatchSampler:
         self.seed = seed
         self.rank = rank
         self.world = world_size
+        self.drop_last = drop_last
 
     def epoch_batches(self, epoch: int) -> List[List[int]]:
         rng = random.Random(self.seed * 1_000_003 + epoch)
-        idx = list(range(self.n))
-        rng.shuffle(idx)
-        idx = idx[self.rank::self.world]
+        full = list(range(self.n))
+        rng.shuffle(full)
+        idx = full[self.rank::self.world]
+        if not idx and self.n:
+            # non-empty dataset but this rank's shard is empty
+            # (n_items < world_size): wrap-assign from the full shuffled
+            # list so every rank still trains — an empty epoch would make
+            # __iter__ spin forever without ever raising
+            idx = [full[self.rank % self.n]]
         if 0 < len(idx) < self.bs:
             # fewer items than one fixed-shape batch (e.g. a small
-            # second-bucket shard): wrap-fill to exactly one batch —
-            # an empty epoch would make __iter__ spin forever
+            # second-bucket shard): wrap-fill to exactly one batch
             idx = (idx * -(-self.bs // len(idx)))[:self.bs]
-        return [idx[i:i + self.bs] for i in range(0, len(idx) - self.bs + 1,
-                                                  self.bs)]
+        batches = [idx[i:i + self.bs]
+                   for i in range(0, len(idx) - self.bs + 1, self.bs)]
+        tail = idx[len(batches) * self.bs:]
+        if tail and not self.drop_last:
+            # fixed-shape contract: the tail batch is wrap-filled to full
+            # size rather than emitted ragged
+            batches.append((tail + idx)[:self.bs])
+        return batches
 
     def __iter__(self) -> Iterator[Tuple[int, List[int]]]:
         if self.n == 0:
@@ -124,11 +136,18 @@ class PrefetchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = object()
+        err: List[BaseException] = []
 
         def worker():
+            # an exception in the wrapped iterator (batch assembly) must
+            # crash the consumer, not end iteration cleanly: a prefetch
+            # thread that dies mid-run would otherwise make the train loop
+            # exit normally and report a crashed run as "training done"
             try:
                 for tag, batch in self.it:
                     q.put((tag, self.device_put(batch)))
+            except BaseException as e:  # re-raised on the main thread
+                err.append(e)
             finally:
                 q.put(stop)
 
@@ -137,6 +156,9 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is stop:
+                if err:
+                    raise RuntimeError(
+                        "prefetch worker failed mid-iteration") from err[0]
                 return
             yield item
 

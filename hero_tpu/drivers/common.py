@@ -100,13 +100,24 @@ def merge_params(init: Dict, loaded: Dict, prefix: str = "") -> Dict:
 
 
 def load_checkpoint_into(params: Dict, path: str,
-                         vocab_size: int = 50272) -> Dict:
+                         vocab_size: int = 50272,
+                         info: Optional[Dict] = None) -> Dict:
+    """Overlay a checkpoint onto init params.  When ``info`` is passed, the
+    checkpoint's actual vocab-pad decision is recorded under
+    ``info['vocab_padded']`` (True/False, or absent when the source doesn't
+    carry it) so drivers can thread it to ModelSaver instead of inferring
+    it from shapes (reference utils/save.py:119-127)."""
     if path.endswith(".pt"):
         from hero_tpu.convert.torch_checkpoint import load_and_convert
         loaded = load_and_convert(path, vocab_size=vocab_size)
+        padded = loaded.pop("__vocab_padded__", None)
     else:
-        from hero_tpu.training.save import load_params
+        from hero_tpu.training.save import (checkpoint_vocab_padded,
+                                            load_params)
         loaded = load_params(path)
+        padded = checkpoint_vocab_padded(path)
+    if info is not None and padded is not None:
+        info["vocab_padded"] = bool(padded)
     return merge_params(params, loaded)
 
 
@@ -204,6 +215,7 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     profile_at = (getattr(opts, "profile_step", -1)
                   if getattr(opts, "output_dir", None) else -1)
     t0, n_ex = _time.time(), 0
+    last_validated = last_saved = -1  # dedup end-of-training valid/save
 
     def assembled_steps():
         """One item per optimizer step: accumulate the micro window, stack,
@@ -286,15 +298,17 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
             # eval_vcmr.py:125-140).  validate_fn gates its own file
             # writes/logging on is_primary().
             validate_fn(state, global_step)
+            last_validated = global_step
             if saver is not None and is_primary():
                 saver.save(jax.device_get(state.params), global_step)
+                last_saved = global_step
         if restorer is not None:
             restorer.step(state, opts.save_steps, global_step=global_step)
         if global_step >= opts.num_train_steps:
             break
-    if saver is not None and is_primary():
+    if saver is not None and is_primary() and last_saved != global_step:
         saver.save(jax.device_get(state.params), global_step)
-    if validate_fn is not None:
+    if validate_fn is not None and last_validated != global_step:
         validate_fn(state, global_step)
     LOGGER.info("training done at step %d", global_step)
     return state

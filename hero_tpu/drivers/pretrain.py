@@ -110,19 +110,25 @@ def build_task_datasets(opts, video_dbs, name_ratios=None):
         ratios = getattr(opts, "task_ratios", None) or DEFAULT_TASKS
         name_ratios = {f"{t}@": r for t, r in ratios.items()}
     buckets = _bucketize(opts, video_dbs)
+    # when ANY bucket split occurs, scale EVERY ratio by the same split
+    # granularity so relative task/target weights are preserved — scaling
+    # only the split names would skew the sampling mix ~8:1 toward
+    # bucketized targets in multi-target pretrain
+    scale = 8 if any(b[2] is not None for b in buckets.values()) else 1
     expanded = {}
     for name, ratio in name_ratios.items():
         task, _, tgt = name.partition("@")
         db, fit, big_db, big = buckets.get(tgt) or buckets[""]
         if big_db is None:
-            expanded[name] = (ratio, db, fit)
+            expanded[name] = (scale * ratio, db, fit)
             continue
-        # split the ratio between buckets proportionally to video counts
-        # (granularity 8 keeps the sampling pool small); the big bucket
-        # always gets ≥1 so its videos are actually trained on
+        # split the scaled ratio between buckets proportionally to video
+        # counts, conserving the total exactly (so relative weights across
+        # targets hold); each bucket gets ≥1 so its videos are trained on
         total = len(fit) + len(big)
-        r_big = max(1, round(8 * ratio * len(big) / total))
-        r_fit = max(1, 8 * ratio - r_big)
+        r_big = min(max(1, round(scale * ratio * len(big) / total)),
+                    scale * ratio - 1)
+        r_fit = scale * ratio - r_big
         expanded[name] = (r_fit, db, fit)
         expanded[name + "#big"] = (r_big, big_db, big)
     for name, (ratio, video_db, vids) in expanded.items():
@@ -167,9 +173,11 @@ def main(opts):
     vsm = common.vsm_config_from_opts(opts)
     params = pretrain_lib.init_hero_for_pretraining(
         jax.random.PRNGKey(opts.seed), cfg, vsm)
+    ckpt_info = {}
     if opts.checkpoint:
         params = common.load_checkpoint_into(params, opts.checkpoint,
-                                             cfg.f_config.vocab_size)
+                                             cfg.f_config.vocab_size,
+                                             info=ckpt_info)
     curriculum = common.Curriculum(opts)
 
     def make_loss(task):
@@ -212,7 +220,8 @@ def main(opts):
                                  "learning_rate": opts.learning_rate})
     if restorer.can_restore():
         state = shard_state(restorer.restore(state), mesh)
-    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
+                       vocab_padded=ckpt_info.get("vocab_padded"))
 
     loaders = {
         t: (dataset_iterator(ds, pt.build_batch, opts.train_batch_size,
@@ -257,5 +266,10 @@ def main(opts):
                          for k, v in rep.items()})
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts])."""
     main(opts_lib.get_pretrain_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -53,9 +53,11 @@ def main(opts):
     cfg = common.model_config_from_opts(opts)
     assert cfg.d_config is not None, "TVC model_config must carry d_config"
     params = tvc_lib.init_hero_for_tvc(jax.random.PRNGKey(opts.seed), cfg)
+    ckpt_info = {}
     if opts.checkpoint:
         params = common.load_checkpoint_into(params, opts.checkpoint,
-                                             cfg.f_config.vocab_size)
+                                             cfg.f_config.vocab_size,
+                                             info=ckpt_info)
     lsr = getattr(opts, "lsr", 0.1)
 
     def loss_fn(p, batch, rng):
@@ -82,7 +84,8 @@ def main(opts):
                                  "learning_rate": opts.learning_rate})
     if restorer.can_restore():
         state = shard_state(restorer.restore(state), mesh)
-    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
+                       vocab_padded=ckpt_info.get("vocab_padded"))
 
     def batches():
         it = dataset_iterator(train_ds, build_tvc_batch,

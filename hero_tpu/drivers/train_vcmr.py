@@ -107,9 +107,11 @@ def main(opts):
     vsm = common.vsm_config_from_opts(opts)
     params = pretrain_lib.init_hero_for_pretraining(
         jax.random.PRNGKey(opts.seed), cfg, vsm)
+    ckpt_info = {}
     if opts.checkpoint:
         params = common.load_checkpoint_into(params, opts.checkpoint,
-                                             cfg.f_config.vocab_size)
+                                             cfg.f_config.vocab_size,
+                                             info=ckpt_info)
 
     curriculum = common.Curriculum(opts)
 
@@ -142,7 +144,8 @@ def main(opts):
                                  "learning_rate": opts.learning_rate})
     if restorer.can_restore():
         state = shard_state(restorer.restore(state), mesh)
-    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
+                       vocab_padded=ckpt_info.get("vocab_padded"))
 
     def batches():
         it = dataset_iterator(train_ds, build_batch,

@@ -47,9 +47,11 @@ def main(opts):
     cfg = common.model_config_from_opts(opts)
     params = videoqa_lib.init_hero_for_videoqa(
         jax.random.PRNGKey(opts.seed), cfg)
+    ckpt_info = {}
     if opts.checkpoint:
         params = common.load_checkpoint_into(params, opts.checkpoint,
-                                             cfg.f_config.vocab_size)
+                                             cfg.f_config.vocab_size,
+                                             info=ckpt_info)
 
     lw_st_ed = getattr(opts, "lw_st_ed", 0.4)
 
@@ -79,7 +81,8 @@ def main(opts):
                                  "learning_rate": opts.learning_rate})
     if restorer.can_restore():
         state = shard_state(restorer.restore(state), mesh)
-    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"))
+    saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
+                       vocab_padded=ckpt_info.get("vocab_padded"))
 
     def batches():
         it = dataset_iterator(

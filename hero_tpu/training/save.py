@@ -69,11 +69,19 @@ def checkpoint_vocab_padded(path: str) -> Optional[bool]:
 
 
 class ModelSaver:
+    """``vocab_padded`` is the ACTUAL pad decision threaded from checkpoint
+    conversion/init (reference ModelSaver records whether padding was
+    applied, utils/save.py:119-127) — inferring it from ``rows % 8 == 0``
+    would mislabel a naturally mult-of-8 vocab as padded and tell consumers
+    to strip real embedding rows.  ``None`` = unknown (marker omitted)."""
+
     def __init__(self, output_dir: str, prefix: str = "model_step",
-                 suffix: str = "npz"):
+                 suffix: str = "npz",
+                 vocab_padded: Optional[bool] = None):
         self.output_dir = output_dir
         self.prefix = prefix
         self.suffix = suffix
+        self.vocab_padded = vocab_padded
         os.makedirs(output_dir, exist_ok=True)
 
     def save(self, params, step: int) -> str:
@@ -81,13 +89,8 @@ class ModelSaver:
                             f"{self.prefix}_{step}.{self.suffix}")
         host = jax.tree.map(np.asarray, params)
         flat = flatten_tree(host)
-        # vocab_padded marker (reference ModelSaver.save,
-        # utils/save.py:112-133): record whether the tied word embedding
-        # was padded to a multiple of 8 rows, so downstream consumers know
-        # to strip the pad.
-        padded = any(v.shape[0] % 8 == 0 for k, v in flat.items()
-                     if k.endswith("word_emb"))
-        flat["__vocab_padded__"] = np.asarray(padded)
+        if self.vocab_padded is not None:
+            flat["__vocab_padded__"] = np.asarray(self.vocab_padded)
         np.savez(path, **flat)
         return path
 

@@ -82,6 +82,18 @@ def test_two_process_eval_matches_single(tmp_path):
             for p, log in zip(procs, logs):
                 assert p.returncode == 0, log[-3000:]
     if timed_out:
+        # surface the skip loudly: this test is the ONLY coverage of the
+        # multi-process collective-merge path, so a saturated CI must not
+        # silently lose it — emit a pytest warning (shows in the summary)
+        # and a timestamped artifact for post-hoc CI inspection
+        import time
+        import warnings
+        msg = ("test_multiprocess_eval SKIPPED: 2-process rendezvous "
+               "timed out (machine saturated) — the collective-merge "
+               "path was NOT exercised this run")
+        warnings.warn(msg, RuntimeWarning)
+        with open(os.path.join(REPO, ".mp_eval_skips.log"), "a") as f:
+            f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} {msg}\n")
         pytest.skip("2-process rendezvous timed out (machine saturated)")
 
     results = [json.load(open(o)) for o in outs]

@@ -170,17 +170,39 @@ def test_model_saver_roundtrip(tmp_path):
 
 
 def test_model_saver_vocab_padded_marker(tmp_path):
-    """Checkpoints record whether the tied word embedding was padded to a
-    multiple of 8 rows (reference ModelSaver.save, utils/save.py:112-133)."""
-    saver = save_lib.ModelSaver(str(tmp_path))
-    padded = {"embeddings": {"word_emb": jnp.zeros((50272, 8))}}
-    p1 = saver.save(padded, 1)
+    """Checkpoints record the ACTUAL pad decision threaded from checkpoint
+    conversion/init (reference ModelSaver.save, utils/save.py:112-133) —
+    never inferred from shapes, which would mislabel a naturally mult-of-8
+    vocab as padded."""
+    params = {"embeddings": {"word_emb": jnp.zeros((50272, 8))}}
+    p1 = save_lib.ModelSaver(str(tmp_path), vocab_padded=True).save(
+        params, 1)
     assert save_lib.checkpoint_vocab_padded(p1) is True
-    unpadded = {"embeddings": {"word_emb": jnp.zeros((50265, 8))}}
-    p2 = saver.save(unpadded, 2)
+    # a naturally mult-of-8 vocab that was NOT padded stays False
+    p2 = save_lib.ModelSaver(str(tmp_path), vocab_padded=False).save(
+        params, 2)
     assert save_lib.checkpoint_vocab_padded(p2) is False
+    # unknown provenance → marker omitted, not guessed
+    p3 = save_lib.ModelSaver(str(tmp_path)).save(params, 3)
+    assert save_lib.checkpoint_vocab_padded(p3) is None
     # marker never leaks back into the loaded pytree
     assert "__vocab_padded__" not in save_lib.load_params(p1)
+
+
+def test_vocab_padded_threaded_from_conversion(tmp_path):
+    """load_checkpoint_into reports the conversion's pad decision via its
+    info out-param (ADVICE r2: don't infer from rows % 8)."""
+    from hero_tpu.drivers.common import load_checkpoint_into
+    src = {"embeddings": {"word_emb": np.zeros((48, 4), np.float32)}}
+    p = save_lib.ModelSaver(str(tmp_path), vocab_padded=True).save(src, 0)
+    info = {}
+    init = {"embeddings": {"word_emb": jnp.zeros((48, 4))}}
+    load_checkpoint_into(init, p, info=info)
+    assert info["vocab_padded"] is True
+    info2 = {}
+    p2 = save_lib.ModelSaver(str(tmp_path)).save(src, 1)
+    load_checkpoint_into(init, p2, info=info2)
+    assert "vocab_padded" not in info2
 
 
 def test_tensor_parallel_train_step():
@@ -347,3 +369,42 @@ def test_video_level_loss_single_video_is_zero():
         hard_pool_size=jnp.asarray(20),
         hard_neg_weight=jnp.asarray(10.0))
     assert float(l_ctx) == 0.0 and float(l_q) == 0.0
+
+
+def test_poisoned_batch_iter_crashes_run_training(tmp_path):
+    """A data-pipeline exception mid-run must CRASH training, not end it
+    cleanly: the old PrefetchLoader swallowed worker exceptions via its
+    stop sentinel, so a preemptible run that died at step N masqueraded as
+    a completed run ("training done" + final checkpoint)."""
+    from types import SimpleNamespace
+    from hero_tpu.drivers import common as dcommon
+
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.0)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.flat)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+
+    def loss_fn(p, batch, rng):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                       train=True)
+        return a + b + c, {}
+
+    step = make_sharded_train_step(loss_fn, spec, mesh)
+    state = shard_state(TrainState.create(params), mesh)
+    np_batch = {k: np.asarray(v)
+                for k, v in tiny_batch(cfg, B=n_dev).items()}
+
+    def poisoned():
+        yield "vsm", np_batch
+        yield "vsm", np_batch
+        raise ValueError("poisoned batch assembly")
+
+    opts = SimpleNamespace(output_dir=None, seed=0,
+                           gradient_accumulation_steps=1,
+                           valid_steps=10_000, save_steps=10_000,
+                           num_train_steps=50)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        dcommon.run_training(opts, mesh, step, state, poisoned())

@@ -80,8 +80,10 @@ print(f"[OK] pretrain phase B resumed -> {os.path.basename(ckpts[-1])}",
       flush=True)
 
 from hero_tpu.training.save import checkpoint_vocab_padded
-assert checkpoint_vocab_padded(ckpts[-1]) is True  # vocab 128 % 8 == 0
-print(time.strftime("%H:%M:%S"), "[OK] vocab_padded marker present", flush=True)
+# fresh-init pretrain (no source checkpoint): the pad decision is unknown,
+# so the marker is honestly omitted rather than shape-inferred
+assert checkpoint_vocab_padded(ckpts[-1]) is None
+print(time.strftime("%H:%M:%S"), "[OK] vocab_padded marker honest (None)", flush=True)
 
 out2 = os.path.join(root, "vcmr")
 cfgC = write_cfg("vcmr.json", dict(
