@@ -230,6 +230,10 @@ class SubTokStore(TxtTokStore):
         self.vid2max_len = _load_json(db_dir,
                                       "vid2max_frame_sub_len.json", {})
         self.id2len = _load_json(db_dir, "vid2len.json", {})
+        # prepro-emitted shape-stat sidecar (per-sub token lengths): lets
+        # suggest_shapes/video_fits_bucket avoid re-reading every example
+        # at driver startup; None → consumers fall back to scanning
+        self.vid2sub_lens = _load_json(db_dir, "vid2sub_len.json", None)
         self.vid2dur, self.vid2idx = {}, {}
         video_data = _load_json(db_dir, "vid2dur_idx.json")
         if video_data:

@@ -30,26 +30,40 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
                            max_frames: int = 16, vfeat_dim: int = 64,
                            frame_interval: float = 1.5,
                            n_queries_per_video: int = 3,
-                           n_answers: int = 3, seed: int = 0
-                           ) -> Dict[str, str]:
-    """Returns dict of db paths: sub, vfeat, query, qa_query, cap."""
+                           n_answers: int = 3, seed: int = 0,
+                           correlated: bool = False) -> Dict[str, str]:
+    """Returns dict of db paths: sub, vfeat, query, qa_query, cap.
+
+    With ``correlated=True`` the corpus carries a learnable retrieval
+    signal: video ``v`` gets a distinctive feature direction and its
+    queries/subtitles carry video-identity tokens, so VSM/VCMR training
+    must drive corpus R@1 well above chance (used by the flagship-scale
+    TPU drive and the learning-signal tests)."""
     rng = random.Random(seed)
     npr = np.random.RandomState(seed)
     vids = [f"vid{i}" for i in range(n_videos)]
+
+    def id_tok(vi: int) -> int:
+        # per-video identity token in the corpus vocab band [3, 99)
+        return 3 + (vi % 96)
 
     # --- video features
     vfeat_dir = os.path.join(root, "video_db")
     id2nframe = {}
     with HeroStoreWriter(vfeat_dir) as w:
-        for vid in vids:
+        for vi, vid in enumerate(vids):
             nf = rng.randint(max_frames // 2, max_frames)
             id2nframe[vid] = nf
-            w.put(vid, npr.randn(nf, vfeat_dim).astype(np.float16))
+            feat = npr.randn(nf, vfeat_dim).astype(np.float32)
+            if correlated:
+                feat *= 0.1
+                feat[:, (3 * vi) % vfeat_dim] += 3.0   # identity direction
+            w.put(vid, feat.astype(np.float16))
     _write_json(vfeat_dir, "id2nframe.json", id2nframe)
 
     # --- subtitles
     sub_dir = os.path.join(root, "sub_db")
-    vid2len, vid2max_len = {}, {}
+    vid2len, vid2max_len, vid2sub_len = {}, {}, {}
     vid2dur_idx = {"train": {}}
     with HeroStoreWriter(sub_dir) as w:
         for vi, vid in enumerate(vids):
@@ -65,12 +79,16 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
             input_ids = [[rng.randint(3, 99)
                           for _ in range(rng.randint(3, 8))]
                          for _ in spans]
+            if correlated:
+                # subtitles open with the video-identity token
+                input_ids = [[id_tok(vi)] + row[1:] for row in input_ids]
             w.put(vid, {
                 "input_ids": input_ids,
                 "unique_sub2frames": [(i, s) for i, s in enumerate(spans)],
                 "unmatched_frames": [],
             })
             vid2len[vid] = nf
+            vid2sub_len[vid] = [len(t) for t in input_ids]
             vid2max_len[vid] = max(len(t) for t in input_ids) + max(
                 len(s) for s in spans)
             vid2dur_idx["train"][vid] = [nf * frame_interval, vi]
@@ -78,6 +96,7 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
     _write_json(sub_dir, "vid2len.json", vid2len)
     _write_json(sub_dir, "vid2max_frame_sub_len.json", vid2max_len)
     _write_json(sub_dir, "vid2dur_idx.json", vid2dur_idx)
+    _write_json(sub_dir, "vid2sub_len.json", vid2sub_len)
 
     # --- retrieval queries
     q_dir = os.path.join(root, "query_db")
@@ -85,11 +104,14 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
     with HeroStoreWriter(q_dir) as w, open(
             os.path.join(root, "query_data.jsonl"), "w") as jf:
         qid = 0
-        for vid in vids:
+        for vi, vid in enumerate(vids):
             nf = id2nframe[vid]
             for _ in range(n_queries_per_video):
                 ids = [rng.randint(3, 99)
                        for _ in range(rng.randint(3, 10))]
+                if correlated:
+                    # query is dominated by the identity token of its video
+                    ids = [id_tok(vi)] * max(4, len(ids) - 1) + ids[:1]
                 st = rng.uniform(0, nf * frame_interval / 2)
                 ed = st + rng.uniform(frame_interval,
                                       nf * frame_interval / 2)

@@ -55,6 +55,7 @@ def scan_shape_stats(sub_store: SubTokStore, max_txt_len: int = 60,
     buckets must instead be *sized from these stats*.
     """
     subs_pv, frames_pv, toks_pr, frames_ps = [], [], [], []
+    sidecar = getattr(sub_store, "vid2sub_lens", None)
     for vid, sub2frames in sub_store.vid_sub2frame.items():
         subs_pv.append(len(sub2frames))
         frames_pv.append(sub_store.id2len.get(vid, 0))
@@ -62,9 +63,7 @@ def scan_shape_stats(sub_store: SubTokStore, max_txt_len: int = 60,
         for sub_idx, frames in sub2frames:
             frames_ps.append(len(frames))
             if lens is None:
-                ex = sub_store[vid]
-                lens = [len(t if max_txt_len == -1 else t[:max_txt_len])
-                        for t in ex["input_ids"]]
+                lens = _sub_row_lens(sub_store, sidecar, vid, max_txt_len)
             n = 1 + sum(lens[t]
                         for t in range(sub_idx - sub_ctx_len, sub_idx + 1)
                         if 0 <= t < len(lens))
@@ -96,20 +95,37 @@ def suggest_shapes(sub_store: SubTokStore, coverage: float = 0.99,
         n_frames=max(base.n_frames, dim(st["frames_per_video"], 8)))
 
 
+def _sub_row_lens(sub_store, sidecar, vid: str,
+                  max_txt_len: int) -> List[int]:
+    """Per-sub token lengths (clamped to max_txt_len) — from the
+    prepro-emitted ``vid2sub_len.json`` sidecar when present, else by
+    loading the example (the fallback full-scan path)."""
+    raw = sidecar.get(vid) if sidecar else None
+    if raw is None:
+        raw = [len(t) for t in sub_store[vid]["input_ids"]]
+    if max_txt_len == -1:
+        return list(raw)
+    return [min(l, max_txt_len) for l in raw]
+
+
 def video_fits_bucket(db: "VideoFeatSubTokDataset", vid: str) -> bool:
     """True iff ``vid`` suffers no truncation under ``db.shapes``."""
     sp = db.shapes
     sub2frames = db.txt_db.vid_sub2frame[vid]
     if len(sub2frames) > sp.n_subs:
         return False
+    # clip-level frame capacity: video_item slices img_db[vid][:n_frames],
+    # so a frame-heavy video must be routed to the bigger bucket
+    # (suggest_shapes sizes n_frames from the frames_per_video stat)
+    if db.img_db.name2nframe.get(vid, 0) > sp.n_frames:
+        return False
     lens = None
+    sidecar = getattr(db.txt_db, "vid2sub_lens", None)
     for sub_idx, frames in sub2frames:
         if len(frames) > sp.frames_per_sub:
             return False
         if lens is None:
-            ex = db.txt_db[vid]
-            lens = [len(t if db.max_txt_len == -1 else t[:db.max_txt_len])
-                    for t in ex["input_ids"]]
+            lens = _sub_row_lens(db.txt_db, sidecar, vid, db.max_txt_len)
         n = 1 + sum(lens[t]
                     for t in range(sub_idx - db.sub_ctx_len, sub_idx + 1)
                     if 0 <= t < len(lens))
@@ -136,7 +152,8 @@ class VideoFeatSubTokDataset:
         # data/data.py:326-403, so silent truncation is an accuracy risk
         # that must be measured, not debug-logged)
         self.trunc_counts = {"videos_seen": 0, "subs_dropped": 0,
-                             "frames_dropped": 0, "txt_tokens_dropped": 0,
+                             "frames_dropped": 0, "clip_frames_dropped": 0,
+                             "txt_tokens_dropped": 0,
                              "videos_truncated": 0}
         self._trunc_warned = False
 
@@ -172,14 +189,21 @@ class VideoFeatSubTokDataset:
                    ) -> Dict[str, np.ndarray]:
         sp = self.shapes
         example = self.txt_db[vid]
-        v_feat = self.img_db[vid][:sp.n_frames]
+        v_feat = self.img_db[vid]
+        tc = self.trunc_counts
+        lost = False
+        if v_feat.shape[0] > sp.n_frames:
+            # clip-level truncation: frames beyond the bucket's n_frames
+            # are cut from the clip features AND filtered from every
+            # sub's frame-index list below
+            tc["clip_frames_dropped"] += v_feat.shape[0] - sp.n_frames
+            v_feat = v_feat[:sp.n_frames]
+            lost = True
         nframes = v_feat.shape[0]
         sub2frames = self.txt_db.vid_sub2frame[vid]
         num_subs = len(sub2frames)
-        tc = self.trunc_counts
         tc["videos_seen"] += 1
         txt_dropped_before = tc["txt_tokens_dropped"]
-        lost = False
         if num_subs > sp.n_subs:
             tc["subs_dropped"] += num_subs - sp.n_subs
             lost = True

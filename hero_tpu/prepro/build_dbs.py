@@ -33,6 +33,11 @@ def build_sub_db(out_dir: str, vid2subs: Dict[str, List[dict]],
     """Subtitle db: alignment + tokenization → store + vid2len.json +
     vid2max_frame_sub_len.json + vid2dur_idx.json + meta.json."""
     vid2len, vid2max_len = {}, {}
+    # shape-stat sidecar: per-sub token lengths let bucket
+    # selection/routing (suggest_shapes, video_fits_bucket) run without a
+    # full-corpus store scan at driver startup — for HowTo100M-scale
+    # corpora the startup scan is minutes-to-hours, repeated every restart
+    vid2sub_len = {}
     dur_idx = {}
     total_overlap = 0
     with HeroStoreWriter(out_dir) as w:
@@ -53,6 +58,7 @@ def build_sub_db(out_dir: str, vid2subs: Dict[str, List[dict]],
             }
             w.put(vid, rec)
             vid2len[vid] = nf
+            vid2sub_len[vid] = [len(t) for t in input_ids]
             max_txt = max((len(t) for t in input_ids), default=1)
             max_frames = info.get("max_matched_frame_len", nf) or nf
             vid2max_len[vid] = max_txt + max_frames
@@ -64,6 +70,7 @@ def build_sub_db(out_dir: str, vid2subs: Dict[str, List[dict]],
                 vid2max_len)
     _write_json(os.path.join(out_dir, "vid2dur_idx.json"),
                 {split: dur_idx})
+    _write_json(os.path.join(out_dir, "vid2sub_len.json"), vid2sub_len)
     LOGGER.info("sub db: %d videos, %d overlapping subs", len(vid2subs),
                 total_overlap)
 
@@ -193,3 +200,28 @@ def build_caption_db(root_dir: str, cap_jsonl: List[dict],
     _write_json(os.path.join(cap_dir, "cap2vid.json"), cap2vid)
     _write_json(os.path.join(clip_dir, "vid2clips.json"), vid2clips)
     _write_json(os.path.join(clip_dir, "clip2vid.json"), clip2vid)
+
+
+def emit_sub_len_sidecar(db_dir: str) -> str:
+    """Backfill ``vid2sub_len.json`` for a sub db produced before the
+    sidecar existed (one-time scan; afterwards driver startup does zero
+    full-corpus store reads for bucket selection/routing).
+
+    Usage: ``python -m hero_tpu.prepro.build_dbs <sub_db_dir> [...]``
+    """
+    from hero_tpu.data.store import HeroStore
+    store = HeroStore(db_dir)
+    with open(os.path.join(db_dir, "vid2len.json")) as f:
+        vid2len = json.load(f)
+    vid2sub_len = {vid: [len(t) for t in store[vid]["input_ids"]]
+                   for vid in vid2len}
+    path = os.path.join(db_dir, "vid2sub_len.json")
+    _write_json(path, vid2sub_len)
+    LOGGER.info("emitted %s (%d videos)", path, len(vid2sub_len))
+    return path
+
+
+if __name__ == "__main__":
+    import sys
+    for d in sys.argv[1:]:
+        emit_sub_len_sidecar(d)

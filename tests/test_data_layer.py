@@ -331,3 +331,159 @@ def test_load_data_facade(corpus):
     assert len(qa) == 6
     vl = ld.build_downstream_dataset("violin", db, corpus["violin_query"])
     assert len(vl) == 6
+
+
+def test_prefetch_loader_reraises_worker_exception():
+    """PrefetchLoader must re-raise assembly exceptions on the main thread
+    instead of ending iteration via the stop sentinel."""
+
+    def poisoned():
+        yield "x", {"a": np.ones(2)}
+        raise ValueError("boom")
+
+    pf = PrefetchLoader(poisoned(), device_put=lambda b: b)
+    it = iter(pf)
+    tag, _ = next(it)
+    assert tag == "x"
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert isinstance(e.__cause__, ValueError)
+
+
+def test_batch_sampler_empty_shard_and_drop_last():
+    from hero_tpu.data.loader import BatchSampler
+
+    # n_items < world_size: every rank still gets one wrap-filled batch
+    bs = BatchSampler(3, 4, seed=1, rank=5, world_size=8)
+    batches = bs.epoch_batches(0)
+    assert len(batches) == 1 and len(batches[0]) == 4
+    assert set(batches[0]) <= {0, 1, 2}
+
+    # drop_last=True (default): tail dropped
+    bs = BatchSampler(10, 4, seed=1)
+    assert [len(b) for b in bs.epoch_batches(0)] == [4, 4]
+    # drop_last=False: tail kept, wrap-filled to the fixed batch shape
+    bs = BatchSampler(10, 4, seed=1, drop_last=False)
+    batches = bs.epoch_batches(0)
+    assert [len(b) for b in batches] == [4, 4, 4]
+    assert len(set(batches[0] + batches[1] + batches[2])) == 10
+
+
+class _CountingStore:
+    def __init__(self, inner, counter):
+        self._inner = inner
+        self._counter = counter
+
+    def __getitem__(self, key):
+        self._counter["n"] += 1
+        return self._inner[key]
+
+    def __contains__(self, key):
+        return key in self._inner
+
+
+def test_shape_stat_sidecar_skips_store_scan(corpus):
+    """With the prepro-emitted vid2sub_len.json sidecar, bucket selection
+    (suggest_shapes) and routing (video_fits_bucket) do ZERO per-example
+    store reads at startup; without it they fall back to scanning and
+    produce identical results (VERDICT r2 next #5)."""
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import (VideoFeatSubTokDataset,
+                                     scan_shape_stats, suggest_shapes,
+                                     video_fits_bucket)
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    assert sub.vid2sub_lens, "synthetic corpus must emit the sidecar"
+    tiny = SHAPES.replace(n_subs=2, txt_len=8)
+    db = VideoFeatSubTokDataset(sub, vfeat, tiny, max_txt_len=20,
+                                sub_ctx_len=1)
+    reads = {"n": 0}
+    sub.store = _CountingStore(sub.store, reads)
+
+    fits_side = {v: video_fits_bucket(db, v) for v in db.vids}
+    stats_side = scan_shape_stats(sub, max_txt_len=20, sub_ctx_len=1)
+    shapes_side = suggest_shapes(sub, coverage=1.0, max_txt_len=20,
+                                 sub_ctx_len=1, base=tiny)
+    assert reads["n"] == 0, "sidecar path must not read the store"
+
+    # fallback (no sidecar): scans the store, same answers
+    sub.vid2sub_lens = None
+    fits_scan = {v: video_fits_bucket(db, v) for v in db.vids}
+    stats_scan = scan_shape_stats(sub, max_txt_len=20, sub_ctx_len=1)
+    shapes_scan = suggest_shapes(sub, coverage=1.0, max_txt_len=20,
+                                 sub_ctx_len=1, base=tiny)
+    assert reads["n"] > 0
+    assert fits_side == fits_scan
+    assert shapes_side == shapes_scan
+    for k in stats_side:
+        np.testing.assert_array_equal(stats_side[k], stats_scan[k])
+
+
+def test_emit_sub_len_sidecar_backfill(corpus, tmp_path):
+    """Backfill tool reproduces the prepro-emitted sidecar exactly."""
+    import json
+    import os
+    import shutil
+    from hero_tpu.prepro.build_dbs import emit_sub_len_sidecar
+    dst = str(tmp_path / "sub_db")
+    shutil.copytree(corpus["sub"], dst)
+    with open(os.path.join(dst, "vid2sub_len.json")) as f:
+        expected = json.load(f)
+    os.remove(os.path.join(dst, "vid2sub_len.json"))
+    emit_sub_len_sidecar(dst)
+    with open(os.path.join(dst, "vid2sub_len.json")) as f:
+        assert json.load(f) == expected
+
+
+def test_second_bucket_preserves_cross_target_ratios(corpus):
+    """ADVICE r2 (medium): a target whose videos all fit must have its
+    ratios scaled by the same factor as a bucket-split target, so the
+    multi-target task-sampling mix matches the configured schedule."""
+    from types import SimpleNamespace
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import VideoFeatSubTokDataset
+    from hero_tpu.drivers.pretrain import build_task_datasets
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    tiny = SHAPES.replace(n_subs=2, txt_len=8)       # forces a split
+    roomy = SHAPES.replace(n_subs=64, txt_len=256,
+                           frames_per_sub=64)        # everything fits
+    db_split = VideoFeatSubTokDataset(sub, vfeat, tiny, max_txt_len=20,
+                                      sub_ctx_len=1)
+    db_fit = VideoFeatSubTokDataset(sub, vfeat, roomy, max_txt_len=20,
+                                    sub_ctx_len=1)
+    opts = SimpleNamespace(second_bucket=True, seed=0, query_per_video=2)
+    tasks = build_task_datasets(
+        opts, {"a": db_split, "b": db_fit},
+        name_ratios={"mlm@a": 2, "mlm@b": 2})
+    ra = sum(r for name, (_, r) in tasks.items() if "@a" in name)
+    rb = sum(r for name, (_, r) in tasks.items() if "@b" in name)
+    assert ra == rb, (ra, rb)
+
+
+def test_video_fits_bucket_checks_clip_frames(corpus):
+    """ADVICE r2 (medium): frame-heavy videos must be routed to the big
+    bucket (not silently clip-truncated), and clip-level frame drops must
+    be counted in the truncation audit."""
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import (VideoFeatSubTokDataset,
+                                     video_fits_bucket)
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    # n_frames smaller than some videos' frame counts, everything else big
+    small_clip = SHAPES.replace(n_subs=64, txt_len=256, frames_per_sub=64,
+                                n_frames=MAX_FRAMES // 2)
+    db = VideoFeatSubTokDataset(sub, vfeat, small_clip, max_txt_len=20,
+                                sub_ctx_len=1)
+    heavy = [v for v in db.vids
+             if vfeat.name2nframe[v] > small_clip.n_frames]
+    assert heavy, "synthetic corpus should have frame-heavy videos"
+    for v in heavy:
+        assert not video_fits_bucket(db, v)
+    for v in heavy:
+        db.video_item(v)
+    rep = db.truncation_report()
+    assert rep["clip_frames_dropped"] > 0
+    assert rep["videos_truncated"] == len(heavy)
