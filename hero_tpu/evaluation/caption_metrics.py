@@ -5,8 +5,9 @@ Replaces the reference's vendored ``eval/pycocoevalcap`` + Java jars
 standard COCO-caption definitions (brevity penalty on the closest reference
 length, corpus-level geometric mean for BLEU; CIDEr-D with length-gaussian
 penalty, sigma 6.0, n=1..4, ×10 scaling) and are differential-tested
-against pycocoevalcap.  METEOR is a dependency-free reimplementation
-(exact + Porter-stem matcher stages; see :func:`meteor`).
+against pycocoevalcap.  METEOR is a dependency-free reimplementation of
+the METEOR-1.5 English scoring (exact + Snowball-stem matcher stages,
+1.5-en parameters and function-word discount; see :func:`meteor`).
 
 Tokenization: the reference shells out to the Stanford PTBTokenizer jar.
 :func:`ptb_tokenize` reimplements the Penn-Treebank rules + the
@@ -233,96 +234,135 @@ def meteor_available() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# METEOR (pure python: exact + Porter-stem modules)
+# METEOR (pure python: METEOR-1.5 English semantics, exact + stem modules)
 # ---------------------------------------------------------------------------
 #
-# Implements METEOR with the original published scoring (Banerjee & Lavie
-# 2005: Fmean = 10PR/(R+9P) i.e. alpha=0.9, penalty = 0.5·(chunks/matches)³)
-# and the 1.x matcher-module weighting (exact 1.0, stem 0.6).  The 1.5 jar
-# additionally runs WordNet synonym/paraphrase modules (data unavailable
-# offline) and a function-word discount — omitted, so absolute values
-# differ somewhat from jar-produced numbers; ordering tracks closely.
-# System score micro-averages the sufficient statistics over segments, as
-# the jar's final score does.
+# The reference scores captions with the METEOR-1.5 jar run as
+# ``java -jar meteor-1.5.jar - - -stdio -l en -norm``
+# (``eval/pycocoevalcap/meteor/meteor.py``), i.e. the "Meteor Universal"
+# English defaults (Denkowski & Lavie 2014): alpha=0.85, beta=0.2,
+# gamma=0.6, delta=0.75, matcher weights exact=1.0 / stem=0.6 /
+# synonym=0.8 / paraphrase=0.6, Snowball English stemmer, function-word
+# discount.  This implementation reproduces the exact + stem modules with
+# those parameters and the delta-weighted content/function split; the
+# WordNet synonym and paraphrase-table modules need data files unavailable
+# offline and are omitted (their absence LOWERS scores slightly — a
+# hypothesis word that only matches via synonymy counts as unmatched
+# here).  The emitted ``METEOR_variant`` key marks this.
+#
+# Scoring:  P = Σ_i w_i (δ·m_i(h_c) + (1−δ)·m_i(h_f)) / (δ|h_c| + (1−δ)|h_f|)
+#           R = same over the reference;  Fmean = P·R / (α·P + (1−α)·R)
+#           Pen = γ·(chunks / matches)^β;  score = (1 − Pen)·Fmean
+# System score aggregates the sufficient statistics over segments, as the
+# jar's MeteorStats accumulation does.
 
-_MET_ALPHA, _MET_BETA, _MET_GAMMA = 0.9, 3.0, 0.5
+_MET_ALPHA, _MET_BETA, _MET_GAMMA, _MET_DELTA = 0.85, 0.2, 0.6, 0.75
 _MET_WEIGHTS = (1.0, 0.6)  # exact, stem
+
+# Approximation of the jar's English function-word list (words with
+# relative corpus frequency > 1e-3: closed-class words + clitics).  The
+# exact file ships inside the jar; the discount mechanism and delta match
+# the jar, the list membership is near-identical for caption vocabulary.
+_MET_FUNCTION_WORDS = frozenset("""
+a an the and or but if then than that this these those there here it its
+he she his her him they them their we us our you your i me my is are was
+were be been being am do does did have has had will would can could shall
+should may might must not no nor so too very just also only all any some
+such each both few more most other another in on at of to for with from
+by as into over under about against between through during before after
+above below up down out off again further once when where why how what
+which who whom 's 't n't 'll 're 've 'm 'd
+""".split())
 
 
 def _meteor_align(hyp: List[str], ref: List[str]):
-    """Stage-wise greedy alignment.  Returns (weighted_matches, n_matches,
-    n_chunks) — matches in stage order exact → stem, each hyp/ref word
-    used at most once, chunks counted on the final alignment."""
-    from hero_tpu.evaluation.porter import porter_stem
+    """Stage-wise alignment (exact → stem), each hyp/ref word used at most
+    once.  Ties prefer the ref position that CONTINUES the previous match
+    run (the jar's beam aligner maximizes matches then minimizes chunks;
+    this tie-break captures its dominant effect).  Returns
+    (align: hyp→ref, stage: hyp→module index)."""
+    from hero_tpu.evaluation.snowball import snowball_stem
     h_used = [False] * len(hyp)
     r_used = [False] * len(ref)
-    align = {}  # hyp idx -> ref idx
-    weighted = 0.0
-    for w, key in zip(_MET_WEIGHTS,
-                      (lambda t: t, porter_stem)):
+    align: Dict[int, int] = {}
+    stage: Dict[int, int] = {}
+    for si, key in enumerate((lambda t: t, snowball_stem)):
         r_keys = [key(t) for t in ref]
         for i, t in enumerate(hyp):
             if h_used[i]:
                 continue
             ht = key(t)
-            for j, rt in enumerate(r_keys):
-                if not r_used[j] and ht == rt:
-                    h_used[i] = True
-                    r_used[j] = True
-                    align[i] = j
-                    weighted += w
-                    break
-    m = len(align)
-    if m == 0:
-        return 0.0, 0, 0
-    chunks = 0
-    prev = None
+            cands = [j for j, rt in enumerate(r_keys)
+                     if not r_used[j] and ht == rt]
+            if not cands:
+                continue
+            want = align.get(i - 1, -2) + 1   # continue the run if possible
+            j = want if want in cands else cands[0]
+            h_used[i] = True
+            r_used[j] = True
+            align[i] = j
+            stage[i] = si
+    return align, stage
+
+
+def _chunks(align: Dict[int, int]) -> int:
+    ch, prev = 0, None
     for i in sorted(align):
         if prev is None or align[i] != align[prev] + 1 or i != prev + 1:
-            chunks += 1
+            ch += 1
         prev = i
-    return weighted, m, chunks
+    return ch
+
+
+def _meteor_stats(hyp: List[str], ref: List[str]):
+    """Sufficient statistics for one (hyp, ref) pair: delta-weighted
+    match/length numerators for P and R, raw matches, chunks."""
+    d = _MET_DELTA
+    align, stage = _meteor_align(hyp, ref)
+
+    def w_len(tokens):
+        c = sum(1 for t in tokens if t not in _MET_FUNCTION_WORDS)
+        f = len(tokens) - c
+        return d * c + (1 - d) * f
+
+    w_h = w_r = 0.0
+    for i, j in align.items():
+        wi = _MET_WEIGHTS[stage[i]]
+        w_h += wi * (d if hyp[i] not in _MET_FUNCTION_WORDS else (1 - d))
+        w_r += wi * (d if ref[j] not in _MET_FUNCTION_WORDS else (1 - d))
+    return {"w_h": w_h, "w_r": w_r, "len_h": w_len(hyp),
+            "len_r": w_len(ref), "m": len(align), "ch": _chunks(align)}
+
+
+def _meteor_score(st) -> float:
+    if not st["len_h"] or not st["len_r"] or not st["m"]:
+        return 0.0
+    p = st["w_h"] / st["len_h"]
+    r = st["w_r"] / st["len_r"]
+    if p + r == 0:
+        return 0.0
+    f = p * r / (_MET_ALPHA * p + (1 - _MET_ALPHA) * r)
+    pen = _MET_GAMMA * (st["ch"] / st["m"]) ** _MET_BETA
+    return (1 - pen) * f
 
 
 def meteor(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]]
            ) -> float:
     """Corpus METEOR over tokenized hypotheses/references (best reference
-    per segment; system score from summed statistics)."""
-    tot_w_h = tot_w_r = tot_hlen = tot_rlen = 0.0
-    tot_m = tot_ch = 0
+    per segment by segment score; system score from summed statistics)."""
+    tot = {"w_h": 0.0, "w_r": 0.0, "len_h": 0.0, "len_r": 0.0,
+           "m": 0, "ch": 0}
     for key, hyp in res.items():
         best = None
         for ref in gts[key]:
-            w, m, ch = _meteor_align(hyp, ref)
-            p = w / len(hyp) if hyp else 0.0
-            r = w / len(ref) if ref else 0.0
-            if p + r:
-                f = p * r / (_MET_ALPHA * p + (1 - _MET_ALPHA) * r)
-            else:
-                f = 0.0
-            pen = _MET_GAMMA * (ch / m) ** _MET_BETA if m else 0.0
-            score = (1 - pen) * f
-            cand = (score, w, m, ch, len(ref))
-            if best is None or cand[0] > best[0]:
-                best = cand
+            st = _meteor_stats(hyp, ref)
+            if best is None or _meteor_score(st) > _meteor_score(best):
+                best = st
         if best is None:
             continue
-        _, w, m, ch, rlen = best
-        tot_w_h += w
-        tot_w_r += w
-        tot_hlen += len(hyp)
-        tot_rlen += rlen
-        tot_m += m
-        tot_ch += ch
-    if not tot_hlen or not tot_rlen or not tot_m:
-        return 0.0
-    p = tot_w_h / tot_hlen
-    r = tot_w_r / tot_rlen
-    if p + r == 0:
-        return 0.0
-    f = p * r / (_MET_ALPHA * p + (1 - _MET_ALPHA) * r)
-    pen = _MET_GAMMA * (tot_ch / tot_m) ** _MET_BETA
-    return (1 - pen) * f
+        for k in tot:
+            tot[k] += best[k]
+    return _meteor_score(tot)
 
 
 class TVCEval:
@@ -354,7 +394,13 @@ class TVCEval:
             "ROUGE-L": round(rouge_l(gts, res), 4),
             "CIDEr": round(cider_d(gts, res), 4),
         }
-        # pure-python METEOR (exact + Porter-stem modules, METEOR-1.5 en
-        # parameters; see meteor() docstring for the delta vs the jar)
+        # pure-python METEOR (exact + Snowball-stem modules, METEOR-1.5 en
+        # parameters + function-word discount; see the section comment for
+        # the delta vs the jar).  The variant marker makes the non-jar
+        # provenance visible in emitted result tables, not only in docs
+        # (ADVICE r2): numbers are not comparable to jar-produced METEOR
+        # at the second decimal (no WordNet synonym/paraphrase stages).
         out["METEOR"] = round(meteor(gts, res), 4)
+        out["METEOR_variant"] = ("python meteor-1.5-en exact+snowball "
+                                 "(no WordNet syn/para)")
         return out

@@ -114,12 +114,16 @@ def test_porter_stemmer():
 
 
 def test_meteor_python():
-    """Pure-python METEOR: sanity properties (perfect match ≈ high, exact
-    ordering beats scrambled, stem stage credits morphology)."""
+    """Pure-python METEOR-1.5-en: sanity properties.  With the 1.5
+    parameters (gamma=0.6, beta=0.2) even a PERFECT match carries the
+    fragmentation penalty 0.6·(1/m)^0.2 — for a 6-word caption that is
+    score ≈ 0.58, matching the jar's scale (TVC METEOR ≈ 0.17 at CIDEr
+    ≈ 0.5, impossibly low for a metric that gives 1.0 to exact matches)."""
     ref = "a man is playing a guitar".split()
     gts = {"0": [ref]}
     perfect = ours.meteor(gts, {"0": list(ref)})
-    assert perfect > 0.9
+    expected = (1 - 0.6 * (1 / 6) ** 0.2) * 1.0
+    assert perfect == pytest.approx(expected, abs=1e-6)
     scrambled = ours.meteor(gts, {"0": ref[::-1]})
     assert perfect > scrambled > 0.0
     stemmy = ours.meteor(gts, {"0": "a man played a guitar".split()})
@@ -129,6 +133,61 @@ def test_meteor_python():
     # multi-reference takes the best reference
     gts2 = {"0": [["totally", "different"], ref]}
     assert ours.meteor(gts2, {"0": list(ref)}) == pytest.approx(perfect)
+    # function-word discount: a missed CONTENT word costs more than a
+    # missed function word ("the" vs "guitar")
+    ref2 = "the man is playing the guitar".split()
+    gts3 = {"0": [ref2]}
+    miss_func = ours.meteor(gts3, {"0": "man is playing the guitar".split()})
+    miss_content = ours.meteor(gts3, {"0": "the man is playing the".split()})
+    assert miss_func > miss_content
+
+
+def test_snowball_matches_nltk():
+    """Differential test of the pure-python Snowball English stemmer
+    against NLTK's SnowballStemmer over real vocabulary + natural
+    inflections.  (The jar's stem module is Snowball, not Porter-1980.)"""
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.snowball import SnowballStemmer
+    from hero_tpu.evaluation.snowball import snowball_stem
+    nl = SnowballStemmer("english")
+    import re
+    text = open("/root/repo/SURVEY.md").read()
+    text += open("/root/reference/README.md").read()
+    vocab = sorted(set(re.findall(r"[a-z]+", text.lower())))
+    words = set(vocab)
+    for w in vocab:
+        for s in ("s", "ed", "ing", "ly", "ness", "ful", "ive", "al",
+                  "ation", "er", "es", "ies"):
+            words.add(w + s)
+    # NLTK's hand-port diverges from the Java/snowball runtime on
+    # region-marker semantics for some -ization/-ation coinages (NLTK
+    # zeroes a region whose string is shorter than the replaced suffix;
+    # the generated Java englishStemmer keeps absolute p1/p2).  We follow
+    # the Java jar.  Allow only that divergence class, at <0.5%.
+    bad = [(w, snowball_stem(w), nl.stem(w)) for w in sorted(words)
+           if snowball_stem(w) != nl.stem(w)]
+    unexplained = [t for t in bad
+                   if not (t[0].endswith(("ization", "ation", "ement"))
+                           or t[2] == t[1] + "e")]
+    assert not unexplained, unexplained[:10]
+    assert len(bad) / len(words) < 0.005, len(bad)
+
+
+def test_snowball_spec_examples():
+    """Known Snowball-English pairs (diverge from Porter-1980 on several)."""
+    from hero_tpu.evaluation.snowball import snowball_stem
+    for w, s in [("skis", "ski"), ("skies", "sky"), ("dying", "die"),
+                 ("lying", "lie"), ("early", "earli"), ("only", "onli"),
+                 ("news", "news"), ("sky", "sky"), ("inning", "inning"),
+                 ("proceed", "proceed"), ("exceed", "exceed"),
+                 ("running", "run"), ("runner", "runner"),
+                 ("hoping", "hope"), ("hopping", "hop"),
+                 ("conditional", "condit"), ("generously", "generous"),
+                 ("civilization", "civil"), ("generalization", "general"),
+                 ("happiness", "happi"), ("cries", "cri"),
+                 ("ties", "tie"), ("knitting", "knit"),
+                 ("agreement", "agreement"), ("consolidate", "consolid")]:
+        assert snowball_stem(w) == s, (w, snowball_stem(w), s)
 
 
 def test_tvc_eval_includes_meteor(tmp_path):
@@ -147,4 +206,6 @@ def test_tvc_eval_includes_meteor(tmp_path):
               {"clip_id": 2,
                "descs": [{"desc": "Two dogs chase a red ball."}]}])
     assert out["CIDEr"] > 0
-    assert "METEOR" in out and 0.9 < out["METEOR"] <= 1.0
+    # identical captions: Fmean=1, penalized by 0.6·(1/m)^0.2 (1.5-en)
+    assert "METEOR" in out and 0.5 < out["METEOR"] < 0.7
+    assert "snowball" in out["METEOR_variant"]
