@@ -102,8 +102,17 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                 else frame_embs.shape[0])
     max_v = min(opts.max_vcmr_video, n_videos)
     L = frame_embs.shape[1]
-    band = jnp.asarray(tvr_metrics.generate_min_max_length_mask(
-        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l))
+    # the min/max-span band keeps only ~(max_l-min_l+1) of L diagonals of
+    # the (L, L) span matrix — enumerate its positions host-side and score
+    # ONLY those, instead of materializing + top-k'ing the dense masked
+    # (Nq, max_v, L, L) cube (~7x less top-k work at the TVR band)
+    band = tvr_metrics.generate_min_max_length_mask(
+        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
+    band_pos = np.flatnonzero(band.reshape(-1)).astype(np.int32)
+    band_st = jnp.asarray(band_pos // L)
+    band_ed = jnp.asarray(band_pos % L)
+    band_pos = jnp.asarray(band_pos)
+    n_band = int(band_pos.shape[0])
 
     # corpus tensors and params enter as jit ARGUMENTS — closing over them
     # would bake hundreds of MB of constants into the compiled program
@@ -118,21 +127,21 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
         top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
         st_sel = jnp.take_along_axis(st_p, top_idx[..., None], axis=1)
         ed_sel = jnp.take_along_axis(ed_p, top_idx[..., None], axis=1)
-        cube = jnp.einsum("qvm,qv,qvn->qvmn", st_sel, top_scores, ed_sel)
-        cube = cube * band            # band is (1, 1, L, L)
-        # exact two-level top-k: per-video top-k then across videos —
-        # a global top_k over max_v·L² (~1e6) elements compiles and runs
-        # far slower than this decomposition
-        nq = cube.shape[0]
-        per_v = cube.reshape(nq, max_v, -1)           # (Nq, max_v, L·L)
-        k = min(opts.max_before_nms, per_v.shape[1] * per_v.shape[2])
-        k1 = min(k, per_v.shape[2])
-        sc1, idx1 = jax.lax.top_k(per_v, k1)          # (Nq, max_v, k1)
+        # score only the in-band (st, ed) pairs: (Nq, max_v, n_band)
+        vals = (st_sel[..., band_st] * ed_sel[..., band_ed]
+                * top_scores[..., None])
+        nq = vals.shape[0]
+        k = min(opts.max_before_nms, max_v * n_band)
+        # exact two-level top-k (per-video then across videos) — far
+        # cheaper than one global top_k over max_v·n_band elements
+        k1 = min(k, n_band)
+        sc1, idx1 = jax.lax.top_k(vals, k1)           # (Nq, max_v, k1)
         sc2, idx2 = jax.lax.top_k(sc1.reshape(nq, -1), k)
         vid = idx2 // k1                              # (Nq, k)
         pos = jnp.take_along_axis(
             idx1.reshape(nq, -1), vid * k1 + idx2 % k1, axis=1)
-        flat_idx = vid * per_v.shape[2] + pos
+        # same flat (video, st·L + ed) layout the host decode expects
+        flat_idx = vid * (L * L) + band_pos[pos]
         return (scores.astype(jnp.float32), st_p, ed_p, top_scores,
                 top_idx, sc2, flat_idx)
 

@@ -1,0 +1,165 @@
+"""Full-recipe pretraining benchmark: per-task + ratio-weighted throughput.
+
+The headline ``bench.py`` measures VSM only; the reference recipe mixes
+mlm : mfm-nce : fom : vsm = 2 : 2 : 1 : 2 per optimizer step
+(``/root/reference/config/pretrain-tv-16gpu.json``, dispatch
+``/root/reference/pretrain.py:352-364``).  This script times ONE jitted
+train step per task at the bench shapes and reports:
+
+- per-task examples/s/chip with a per-task analytic V100 ``vs_baseline``
+  (same assumption as bench.py: apex-fp16 V100 sustaining 30% of its
+  125 TFLOP/s peak on each task's own FLOP mix);
+- the 2:2:1:2 ratio-weighted examples/s — total examples over total time
+  of one recipe cycle, i.e. 7·B / Σ(ratio_t · steptime_t).
+
+Prints one JSON line and (unless --no-artifact) writes BENCH_RECIPE.json
+at the repo root.
+
+Per-task forward-FLOP models (train ≈ 3× fwd matmul FLOPs):
+- vsm: bench.analytic_train_flops_per_example (f_enc + c_enc + q_enc).
+- mlm: f_enc only (reference forward_mlm never runs the temporal stack,
+  encoder.py:355-374) + masked-positions-only LM head
+  (dense D·D + decoder D·V over B·S·M rows — the reference's pad/unpad
+  trick computes exactly these rows).
+- mfm-nce: f_enc + c_enc + feat_regress MLP (D→D→4352 per frame) + NCE
+  logits (masked rows × in-batch candidate frames × 4352,
+  reference model/model.py:274-289); ~15% of frames masked.
+- fom: f_enc + c_enc (shuffled re-encode) + MLP head D→D→100 per frame
+  (reference model/model.py:306-336).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from hero_tpu.data import synthetic
+from hero_tpu.models import pretrain
+from hero_tpu.training.step import TrainSpec, TrainState, make_train_step
+from hero_tpu.utils.misc import enable_fast_rng
+
+RATIOS = {"mlm": 2, "mfm-nce": 2, "fom": 1, "vsm": 2}
+V100_SUSTAINED = 0.30 * 125e12
+
+
+def fwd_flops(task, s: synthetic.BatchShape, cfg) -> float:
+    D = cfg.f_config.hidden_size
+    I = cfg.f_config.intermediate_size
+    V = cfg.f_config.vocab_size
+    f_seq = s.frames_per_sub + s.txt_len
+    f_enc = bench.transformer_flops(6, f_seq, D, I, s.n_subs)
+    f_enc += s.n_subs * 2 * s.frames_per_sub * s.vfeat_dim * D  # img proj
+    c_enc = bench.transformer_flops(3, s.n_frames, D, I, 1)
+    c_enc += 2 * s.n_frames * s.vfeat_dim * D         # frame_transform
+    if task == "mlm":
+        head = s.n_subs * s.max_masked * 2 * (D * D + D * V)
+        return f_enc + head
+    if task == "mfm-nce":
+        regress = s.n_frames * 2 * (D * D + D * s.vfeat_dim)
+        # reference NCE cost: ~15% masked rows × (B·F) candidate columns
+        # × vfeat dots (model/model.py:274-289); per-example = /B
+        nce = 0.3 * s.batch * s.n_frames ** 2 * s.vfeat_dim
+        return f_enc + c_enc + regress + nce
+    if task == "fom":
+        head = s.n_frames * 2 * (D * D + D * 100)
+        return f_enc + c_enc + head
+    raise ValueError(task)
+
+
+def train_flops_per_example(task, s, cfg):
+    if task == "vsm":
+        return bench.analytic_train_flops_per_example(s, cfg)
+    return 3.0 * fwd_flops(task, s, cfg)
+
+
+def time_task(task, cfg, vsm, shape, n_steps=20):
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+
+    if task == "vsm":
+        def loss_fn(p, batch, rng):
+            a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                           train=True, dtype=jnp.bfloat16)
+            return a + b + c, {}
+    else:
+        def loss_fn(p, batch, rng):
+            s, n = pretrain.forward_pretrain(p, cfg, vsm, batch, task,
+                                             rng=rng, train=True,
+                                             dtype=jnp.bfloat16)
+            return s / jnp.maximum(n, 1.0), {}
+
+    spec = TrainSpec(learning_rate=3e-5, warmup_steps=10000,
+                     num_train_steps=100000, grad_norm=2.0)
+    step = make_train_step(loss_fn, spec, donate=True)
+    state = TrainState.create(params)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.task_batch(task, shape).items()}
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    float(metrics["loss"])  # tunnel sync: only a value fetch blocks
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i + 3))
+    float(metrics["loss"])
+    return (time.perf_counter() - t0) / n_steps
+
+
+def main(write_artifact=True):
+    enable_fast_rng()
+    cfg = bench.flagship_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
+                             drop_svmr_prob=0.8)
+    shape = synthetic.BatchShape(batch=32, n_subs=16, txt_len=40,
+                                 frames_per_sub=16, n_frames=100,
+                                 n_queries=2, query_len=30, max_masked=12)
+    per_task = {}
+    for task in RATIOS:
+        dt = time_task(task, cfg, vsm, shape)
+        ex_s = shape.batch / dt
+        v100 = V100_SUSTAINED / train_flops_per_example(task, shape, cfg)
+        per_task[task] = {
+            "step_ms": round(dt * 1000, 2),
+            "examples_per_sec": round(ex_s, 1),
+            "vs_baseline": round(ex_s / v100, 3),
+        }
+        print(f"# {task:8s} {dt * 1000:7.2f} ms/step "
+              f"{ex_s:7.1f} ex/s  vs_baseline={ex_s / v100:.3f}",
+              file=sys.stderr, flush=True)
+
+    cycle_steps = sum(RATIOS.values())
+    cycle_time = sum(RATIOS[t] * per_task[t]["step_ms"] / 1000
+                     for t in RATIOS)
+    weighted_ex_s = cycle_steps * shape.batch / cycle_time
+    v100_cycle = cycle_steps * shape.batch / sum(
+        RATIOS[t] * shape.batch * train_flops_per_example(t, shape, cfg)
+        / V100_SUSTAINED for t in RATIOS)
+    result = {
+        "metric": "pretrain_recipe_weighted_examples_per_sec_per_chip",
+        "value": round(weighted_ex_s, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(weighted_ex_s / v100_cycle, 3),
+        "ratios": RATIOS,
+        "per_task": per_task,
+    }
+    print(json.dumps(result))
+    if write_artifact:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_RECIPE.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-artifact", action="store_true")
+    a = ap.parse_args()
+    main(write_artifact=not a.no_artifact)

@@ -3,9 +3,34 @@
 Phase 1 embeds a synthetic 2000-video x 100-frame corpus; phase 2 scores
 query batches against it through the fused scorer (softmax spans, exp
 sharpening, top-k videos, span cube + band mask, exact two-level top-k).
-Reports phase-1 videos/s and phase-2 queries/s (the serving number).
+Reports phase-1 videos/s and phase-2 queries/s (the serving number),
+prints ONE JSON line, and writes BENCH_SERVE.json at the repo root.
+
+``vs_baseline`` compares phase-2 queries/s against an analytic V100
+model of the REFERENCE's phase-2 (``eval_vcmr.py:209-323`` — the same
+einsum/conv/softmax math, then its cube + sort ranking):
+
+- compute: per query ≈ 4·Nv·L·D FLOPs (st/ed similarity einsum
+  "md,nld->mnl" + video-level scores einsum, ``model/pretrain.py:146-153,
+  405-413``) + the query encoder; V100 sustaining the same 30% of its
+  125 TFLOP/s fp16 peak that bench.py assumes.
+- memory: the corpus tensor (Nv,L,D) fp16 is streamed twice per batch,
+  ~8 full passes over the (Nq,Nv,L) intermediates (conv in/out, masked
+  softmax st/ed, exp sharpening); the fp32 (Nq,max_v,L,L) span cube is
+  written by the einsum (``eval_vcmr.py:289-291``) then read+written
+  again by the broadcast band-mask multiply (``:292-297``); V100
+  sustaining 60% of 900 GB/s.
+- sort: ``torch.sort`` over the flattened (Nq, max_v·L·L) cube
+  (``eval_vcmr.py:298-304``) — max_v·L² = 1e6 fp32 keys PER QUERY with
+  int64 index payload.  Modeled at 2e9 elements/s, the upper end of
+  published cub/thrust segmented-sort throughput on V100; this is the
+  reference's dominant phase-2 cost and the term the TPU path avoids
+  entirely (band-gather + exact two-level top-k needs no dense cube and
+  no sort).
+- time/batch = max(compute, memory) + sort.
 """
 
+import json
 import os
 import sys
 import time
@@ -26,7 +51,26 @@ from hero_tpu.utils.misc import enable_fast_rng
 import bench
 
 
-def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64):
+def v100_phase2_queries_per_sec(n_videos, query_bs, L=100, D=768,
+                                max_v=100, q_len=30):
+    """Analytic V100 roofline of the reference phase-2 (see module doc)."""
+    flops = query_bs * (4 * n_videos * L * D            # 2 einsums
+                        + 2 * (4 * q_len * D * D + 2 * q_len ** 2 * D))
+    corpus_bytes = 2 * (n_videos * L * D * 2)           # streamed twice
+    inter_bytes = 8 * (query_bs * n_videos * L * 2)     # fp16 passes
+    # fp32 cube: einsum write, then band-mask multiply read + write
+    # (eval_vcmr.py:289-297)
+    cube_bytes = 3 * (query_bs * max_v * L * L * 4)
+    t_compute = flops / (0.30 * 125e12)
+    t_memory = (corpus_bytes + inter_bytes + cube_bytes) / (0.60 * 900e9)
+    # torch.sort over (Nq, max_v*L*L) fp32 keys + int64 indices
+    # (eval_vcmr.py:298-304); 2e9 el/s ≈ upper-end V100 radix-sort rate
+    t_sort = (query_bs * max_v * L * L) / 2e9
+    return query_bs / (max(t_compute, t_memory) + t_sort)
+
+
+def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64,
+         write_artifact=True):
     enable_fast_rng()
     cfg = bench.flagship_config()
     vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01)
@@ -68,10 +112,30 @@ def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64):
     float(jnp.sum(out[5]))
     t_score = time.perf_counter() - t0
 
-    print(f"phase1: {n_videos / t_embed:.1f} videos/s "
-          f"({t_embed:.1f}s for {n_videos})", flush=True)
-    print(f"phase2: {n_queries / t_score:.1f} queries/s "
-          f"against {n_videos} videos", flush=True)
+    videos_per_s = n_videos / t_embed
+    queries_per_s = n_queries / t_score
+    v100_qps = v100_phase2_queries_per_sec(n_videos, query_bs,
+                                           max_v=max_v)
+    print(f"# phase1: {videos_per_s:.1f} videos/s "
+          f"({t_embed:.1f}s for {n_videos})", file=sys.stderr, flush=True)
+    print(f"# phase2: {queries_per_s:.1f} queries/s against {n_videos} "
+          f"videos (analytic V100: {v100_qps:.1f})", file=sys.stderr,
+          flush=True)
+    result = {
+        "metric": "vcmr_serve_queries_per_sec_per_chip",
+        "value": round(queries_per_s, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(queries_per_s / v100_qps, 3),
+        "corpus_videos": n_videos,
+        "phase1_videos_per_sec": round(videos_per_s, 1),
+    }
+    print(json.dumps(result))
+    if write_artifact:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SERVE.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
 
 
 if __name__ == "__main__":
