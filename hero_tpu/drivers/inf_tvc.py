@@ -48,8 +48,16 @@ def generate_clip_captions(params, cfg, ds: TvcClipDataset, *, bos, eos,
     shapes, no recompile); padded/duplicate rows are dropped via the
     per-row clip-id meta.
     """
-    decode = tvc_lib.beam_decode if beam > 1 else tvc_lib.greedy_decode
+    decode_fn = tvc_lib.beam_decode if beam > 1 else tvc_lib.greedy_decode
     kwargs = {"beam": beam} if beam > 1 else {}
+    # one jitted program with params as an ARGUMENT (closing host params
+    # into the eager scan would bake flagship-size weight constants into
+    # the compiled program and blow the remote-compile request limit);
+    # fixed batch shape -> single compile for the whole dataset
+    decode = jax.jit(lambda p, b: decode_fn(p, cfg, b,
+                                            max_step=max_gen_step,
+                                            bos=bos, eos=eos, **kwargs))
+    params = jax.device_put(params)
     records, seen = [], set()
     bs = max(1, min(batch_size, len(ds)))
     for s in range(0, len(ds), bs):
@@ -59,8 +67,7 @@ def generate_clip_captions(params, cfg, ds: TvcClipDataset, *, bos, eos,
         batch = build_tvc_clip_batch(ds, idx)
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
-        ids = np.asarray(decode(params, cfg, jb, max_step=max_gen_step,
-                                bos=bos, eos=eos, **kwargs))
+        ids = np.asarray(decode(params, jb))
         for ri, cid in enumerate(batch["__clip_ids__"]):
             if cid is None or cid in seen:
                 continue           # padded clip slot / repeated tail item

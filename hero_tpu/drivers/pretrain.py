@@ -248,8 +248,9 @@ def main(opts):
 
         val_loaders = {t: val_batches(ds)
                        for t, (ds, _) in task_datasets.items()}
-        log = validate_pretrain(jax.device_get(state.params), cfg, vsm,
-                                val_loaders)
+        # state.params stay on device: the validators take them as jit
+        # arguments, so no host round-trip (and no re-upload) is needed
+        log = validate_pretrain(state.params, cfg, vsm, val_loaders)
         LOGGER.info("[step %d] %s", step,
                     {k: round(v, 4) for k, v in log.items()})
 

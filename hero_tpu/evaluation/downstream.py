@@ -41,16 +41,20 @@ def validate_videoqa(params, cfg: HeroConfig,
     Batches carry host ``qids`` plus device arrays; ``targets`` may hold -1
     for unlabeled test splits.  Returns (log, qid→answer, qid→logits).
     """
-    fwd = jax.jit(lambda b: videoqa_lib.forward_videoqa(
-        params, cfg, b, num_answers=num_answers, compute_loss=False,
+    # params as a jit ARGUMENT (closing over them bakes the weights into
+    # the program: flagship-size constants exceed remote-compile limits)
+    fwd = jax.jit(lambda p, b: videoqa_lib.forward_videoqa(
+        p, cfg, b, num_answers=num_answers, compute_loss=False,
         dtype=dtype))
+    params = jax.device_put(params)
     results: Dict[Any, int] = {}
     logits_out: Dict[Any, np.ndarray] = {}
     n_correct, n_labeled, n_ex = 0, 0, 0
     for batch in batches:
         qids = batch.pop("qids")
         targets = np.asarray(batch.pop("targets_host", batch.get("targets")))
-        logits = np.asarray(fwd({k: jnp.asarray(v)
+        logits = np.asarray(fwd(params,
+                                {k: jnp.asarray(v)
                                  for k, v in batch.items()
                                  if k != "targets"}))
         answers = logits.argmax(-1)
@@ -72,15 +76,17 @@ def validate_violin(params, cfg: HeroConfig,
                     dtype=jnp.bfloat16) -> Tuple[Dict[str, float],
                                                  Dict[Any, int]]:
     """Binary accuracy from sigmoid > 0.5 (reference eval_violin.py)."""
-    fwd = jax.jit(lambda b: violin_lib.forward_violin(
-        params, cfg, b, compute_loss=False, dtype=dtype))
+    fwd = jax.jit(lambda p, b: violin_lib.forward_violin(
+        p, cfg, b, compute_loss=False, dtype=dtype))
+    params = jax.device_put(params)     # jit arg, not baked constant
     results: Dict[Any, int] = {}
     n_correct, n_labeled, n_ex = 0, 0, 0
     for batch in batches:
         qids = batch.pop("qids")
         targets = np.asarray(batch.pop("targets_host",
                                        batch.get("targets"))).reshape(-1)
-        logits = np.asarray(fwd({k: jnp.asarray(v)
+        logits = np.asarray(fwd(params,
+                                {k: jnp.asarray(v)
                                  for k, v in batch.items()
                                  if k != "targets"})).reshape(-1)
         pred = (1.0 / (1.0 + np.exp(-logits)) > 0.5).astype(np.int64)

@@ -43,15 +43,19 @@ def validate_pretrain(params, cfg: HeroConfig, vsm: VsmConfig,
 
 
 def validate_vsm(params, cfg, vsm, loader, dtype=jnp.bfloat16):
-    fwd = jax.jit(lambda b: pretrain_lib.forward_vsm(
-        params, cfg, vsm, b, compute_loss=True, dtype=dtype))
+    # params enter as a jit ARGUMENT: closing over them bakes hundreds of
+    # MB of weight constants into the compiled program, which at flagship
+    # scale exceeds the remote-compile request limit (HTTP 413)
+    fwd = jax.jit(lambda p, b: pretrain_lib.forward_vsm(
+        p, cfg, vsm, b, compute_loss=True, dtype=dtype))
+    params = jax.device_put(params)     # once, not per jit call
     t0 = time.time()
     tot = {"st_ed": 0.0, "neg_ctx": 0.0, "neg_q": 0.0}
     n_batches, n_ex = 0, 0
     for batch in loader:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
-        a, b_, c = fwd(jb)
+        a, b_, c = fwd(params, jb)
         tot["st_ed"] += float(a)
         tot["neg_ctx"] += float(b_)
         tot["neg_q"] += float(c)
@@ -69,14 +73,15 @@ def validate_vsm(params, cfg, vsm, loader, dtype=jnp.bfloat16):
 
 
 def validate_mlm(params, cfg, loader, dtype=jnp.bfloat16):
-    fwd = jax.jit(lambda b: backbone.forward_mlm(
-        params["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    fwd = jax.jit(lambda p, b: backbone.forward_mlm(
+        p["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    params = jax.device_put(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_correct, n_word = 0.0, 0, 0
     for batch in loader:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
-        logits = np.asarray(fwd(jb))                 # (N, M, V)
+        logits = np.asarray(fwd(params, jb))         # (N, M, V)
         labels = np.asarray(batch["mlm_labels"]).reshape(logits.shape[0],
                                                          -1)
         valid = labels >= 0
@@ -96,6 +101,12 @@ def validate_mlm(params, cfg, loader, dtype=jnp.bfloat16):
 
 
 def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16):
+    fwd_loss = jax.jit(lambda p, b: backbone.forward_mfm(
+        p["v_encoder"], cfg, b, loss=loss_kind, dtype=dtype))
+    fwd_pred = jax.jit(lambda p, b: backbone.forward_mfm(
+        p["v_encoder"], cfg, b, loss="nce", compute_loss=False,
+        dtype=dtype))
+    params = jax.device_put(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_feat = 0.0, 0
     n_correct = 0
@@ -103,16 +114,12 @@ def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16):
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
         if loss_kind == "regression":
-            s, n = backbone.forward_mfm(params["v_encoder"], cfg, jb,
-                                        loss="regression", dtype=dtype)
+            s, n = fwd_loss(params, jb)
             loss_sum += float(s)
             n_feat += int(n)
         else:
-            pred = np.asarray(backbone.forward_mfm(
-                params["v_encoder"], cfg, jb, loss="nce",
-                compute_loss=False, dtype=dtype))      # (B, F, vdim)
-            s, n = backbone.forward_mfm(params["v_encoder"], cfg, jb,
-                                        loss="nce", dtype=dtype)
+            pred = np.asarray(fwd_pred(params, jb))    # (B, F, vdim)
+            s, n = fwd_loss(params, jb)
             loss_sum += float(s)
             n_feat += int(n)
             # NCE "accuracy": masked prediction closest to own target
@@ -133,21 +140,23 @@ def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16):
 
 
 def validate_fom(params, cfg, loader, dtype=jnp.bfloat16):
-    fwd = jax.jit(lambda b: backbone.forward_fom(
-        params["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    fwd = jax.jit(lambda p, b: backbone.forward_fom(
+        p["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
+    fwd_loss = jax.jit(lambda p, b: backbone.forward_fom(
+        p["v_encoder"], cfg, b, dtype=dtype))
+    params = jax.device_put(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_correct, n_frame = 0.0, 0, 0
     for batch in loader:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
-        logits = np.asarray(fwd(jb))                 # (B, F, 100)
+        logits = np.asarray(fwd(params, jb))         # (B, F, 100)
         targets = np.asarray(batch["fom_targets"])
         valid = targets >= 0
         pred = logits.argmax(-1)
         n_correct += int(((pred == targets) & valid).sum())
         n_frame += int(valid.sum())
-        s, n = backbone.forward_fom(params["v_encoder"], cfg, jb,
-                                    dtype=dtype)
+        s, n = fwd_loss(params, jb)
         loss_sum += float(s)
     acc = n_correct / max(n_frame, 1)
     LOGGER.info("fom val acc: %.4f", acc)

@@ -165,6 +165,9 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     ``query_attn_masks``, plus host lists ``qids`` and ``vids`` (GT video
     per query, "" if unknown).  Returns (val_log, submission, metrics).
     """
+    # place host params once: they enter every phase as jit ARGUMENTS, so
+    # leaving them as numpy would re-upload the full model per batch
+    params = jax.device_put(params)
     frame_embs, frame_masks = embed_video_corpus(
         params, cfg, video_batches, opts.max_clip_len, dtype, mesh=mesh)
     scorer, max_v = make_query_scorer(params, cfg, vsm, opts, frame_embs,
