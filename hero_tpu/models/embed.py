@@ -98,20 +98,36 @@ def init_image_embeddings(rng, cfg: TransformerConfig, img_dim: int,
     }
 
 
-def image_embeddings(p: Params, img_feat: jax.Array,
-                     type_embedding: jax.Array,
-                     img_pos_ids: Optional[jax.Array] = None,
-                     img_masks: Optional[jax.Array] = None,
-                     *, cfg: TransformerConfig,
-                     rng: Optional[jax.Array] = None, train: bool = False,
-                     dtype=jnp.float32) -> jax.Array:
-    """img_feat: (..., L, img_dim); img_masks: (..., L) 1 = masked (MFM)."""
+def project_image_features(p: Params, img_feat: jax.Array,
+                           img_masks: Optional[jax.Array] = None,
+                           *, dtype=jnp.float32) -> jax.Array:
+    """The mask-add + img_ln + img_linear stage of ImageEmbeddings alone:
+    (..., L, img_dim) → (..., L, D).  All three ops are row-wise, so they
+    commute with frame gathers — callers may apply this ONCE per unique
+    clip frame and gather D-dim rows instead of projecting every
+    (sub, frame-slot) occurrence (model.py _project_and_gather)."""
     if img_masks is not None:
         mask_add = nn.embedding_lookup(p["mask_emb"],
                                        img_masks.astype(jnp.int32), dtype)
         img_feat = img_feat.astype(dtype) + mask_add
     h = nn.apply_layer_norm(p["img_ln"], img_feat.astype(dtype))
-    h = nn.linear(p["img_linear"], h, dtype)
+    return nn.linear(p["img_linear"], h, dtype)
+
+
+def image_embeddings(p: Params, img_feat: jax.Array,
+                     type_embedding: jax.Array,
+                     img_pos_ids: Optional[jax.Array] = None,
+                     img_masks: Optional[jax.Array] = None,
+                     *, cfg: TransformerConfig, projected: bool = False,
+                     rng: Optional[jax.Array] = None, train: bool = False,
+                     dtype=jnp.float32) -> jax.Array:
+    """img_feat: (..., L, img_dim); img_masks: (..., L) 1 = masked (MFM).
+    ``projected=True``: img_feat is already the (..., L, D) output of
+    :func:`project_image_features` (mask-add/ln/linear are skipped)."""
+    if projected:
+        h = img_feat.astype(dtype)
+    else:
+        h = project_image_features(p, img_feat, img_masks, dtype=dtype)
     if img_pos_ids is None:
         img_pos_ids = jnp.arange(img_feat.shape[-2], dtype=jnp.int32)
     pos = nn.embedding_lookup(p["pos_emb"], img_pos_ids, dtype)

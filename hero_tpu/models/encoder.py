@@ -60,8 +60,9 @@ def _img_type_embedding(p: Params, dtype) -> jax.Array:
 
 def _fused_embeddings(p: Params, cfg: TransformerConfig,
                       sub_input_ids, txt_mask, v_feats, v_mask,
-                      img_masks=None, rng=None, train=False,
-                      dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                      img_masks=None, v_feats_projected=False, rng=None,
+                      train=False, dtype=jnp.float32
+                      ) -> Tuple[jax.Array, jax.Array]:
     """Embed ``[frames ; text]`` rows. Returns (hidden (N, Fs+Lt, D), attention
     mask (N, Fs+Lt))."""
     txt_emb = embed.sub_embeddings(
@@ -69,8 +70,8 @@ def _fused_embeddings(p: Params, cfg: TransformerConfig,
         rng=nn.rng_for(rng, "txt"), train=train, dtype=dtype)
     img_emb = embed.image_embeddings(
         p["img_embeddings"], v_feats, _img_type_embedding(p, dtype),
-        img_masks=img_masks, cfg=cfg, rng=nn.rng_for(rng, "img"),
-        train=train, dtype=dtype)
+        img_masks=img_masks, cfg=cfg, projected=v_feats_projected,
+        rng=nn.rng_for(rng, "img"), train=train, dtype=dtype)
     hidden = jnp.concatenate([img_emb, txt_emb], axis=1)
     mask = jnp.concatenate([v_mask, txt_mask], axis=1).astype(jnp.float32)
     return hidden, mask
@@ -80,12 +81,16 @@ def cross_modal_repr(p: Params, cfg: TransformerConfig,
                      sub_input_ids: jax.Array, txt_mask: jax.Array,
                      v_feats: jax.Array, v_mask: jax.Array,
                      img_masks: Optional[jax.Array] = None, *,
+                     v_feats_projected: bool = False,
                      rng=None, train=False, dtype=jnp.float32) -> jax.Array:
     """Fused encoding ('repr').  Returns (N, Fs+Lt, D): first Fs positions
-    are the per-sub frame outputs, rest are subtitle token outputs."""
+    are the per-sub frame outputs, rest are subtitle token outputs.
+    ``v_feats_projected``: v_feats already passed through
+    :func:`embed.project_image_features` (clip-level projection)."""
     hidden, mask = _fused_embeddings(
         p, cfg, sub_input_ids, txt_mask, v_feats, v_mask, img_masks,
-        rng=rng, train=train, dtype=dtype)
+        v_feats_projected=v_feats_projected, rng=rng, train=train,
+        dtype=dtype)
     return transformer.encoder(p["encoder"], hidden, mask, cfg,
                                rng=nn.rng_for(rng, "enc"), train=train,
                                dtype=dtype)

@@ -80,6 +80,69 @@ def gather_sub_frames(c_v_feats: jax.Array, sub_frame_idx: jax.Array
     return out.reshape(B, S, Fs, -1)
 
 
+# A/B toggle for the clip-level ImageEmbeddings projection — an exact
+# rewrite that projects each unique clip frame once (F rows) instead of
+# every (sub, slot) occurrence (S·Fs rows).  MEASURED SLOWER on v5e at
+# the bench bucket (104.3 vs 99.7 ms/step, tools/perf_sweep.py
+# base/slotproj, 2x repro) despite ~2.5x fewer projection rows: the
+# one-hot re-gather einsums + masking passes cost more than the saved
+# matmul rows, and XLA fuses the single big per-slot projection better.
+# Kept as a tested variant — it should win when S·Fs/F grows (deeper
+# sub_ctx_len overlap than the TV bucket's 2.56x).
+PROJECT_CLIP_LEVEL = False
+
+
+def _project_and_gather(p_img: Params, c_v_feats: jax.Array,
+                        batch: Dict[str, jax.Array],
+                        clip_img_masks: Optional[jax.Array] = None,
+                        *, dtype=jnp.float32) -> jax.Array:
+    """Clip-level ImageEmbeddings projection, then D-dim gather.
+
+    The reference gathers 4352-d features per (sub, frame-slot) occurrence
+    and projects every occurrence (model/model.py:195-224 via
+    ImageEmbeddings).  mask-add/LN/linear are row-wise, so they commute
+    with the gather: projecting the (B, F, vdim) clip features ONCE and
+    gathering D-dim rows computes the identical values at ~S·Fs/F fewer
+    projection rows (2.56x at the bench bucket) and ~vdim/D less gather
+    traffic.  Padded slots (sub_frame_mask == 0) reproduce the zeroed-
+    feature projection; under clip-level MFM masks they reproduce the
+    zeroed-feature + mask-embedding projection of the frame they point at.
+
+    Returns (B, S, Fs, D) projected per-sub frame inputs for
+    ``cross_modal_repr(..., v_feats_projected=True)``.
+    """
+    from hero_tpu.models import embed
+    proj = embed.project_image_features(p_img, c_v_feats,
+                                        img_masks=clip_img_masks,
+                                        dtype=dtype)           # (B, F, D)
+    # gather as a one-hot matmul: take_along_axis on the PROJECTED tensor
+    # would differentiate to a serialized scatter-add (proj carries
+    # gradient, unlike the raw input features) — the one-hot contraction
+    # keeps both directions on the MXU (measured +5% step time otherwise)
+    B, S, Fs = batch["sub_frame_idx"].shape
+    F = proj.shape[1]
+    onehot = jax.nn.one_hot(batch["sub_frame_idx"].reshape(B, S * Fs), F,
+                            dtype=proj.dtype)
+    g = jnp.einsum("bnf,bfd->bnd", onehot, proj,
+                   preferred_element_type=proj.dtype
+                   ).reshape(B, S, Fs, -1)
+    slot_valid = batch["sub_frame_mask"][..., None] != 0
+    vdim = c_v_feats.shape[-1]
+    if clip_img_masks is None:
+        # padded slot == zero feature row: LN(0) -> bias -> linear
+        pad_row = embed.project_image_features(
+            p_img, jnp.zeros((1, 1, vdim), dtype), dtype=dtype)
+        return jnp.where(slot_valid, g, pad_row)
+    # padded slot == zero feature + mask_emb[bit of the pointed frame]
+    pad_rows = embed.project_image_features(
+        p_img, p_img["mask_emb"][None].astype(dtype),
+        dtype=dtype)[0]                                        # (2, D)
+    slot_bits = gather_sub_frames(clip_img_masks[..., None],
+                                  batch["sub_frame_idx"])[..., 0]
+    pad = jnp.take(pad_rows, slot_bits.astype(jnp.int32), axis=0)
+    return jnp.where(slot_valid, g, pad)
+
+
 def collect_frame_outputs(frame_hidden: jax.Array, sub_frame_idx: jax.Array,
                           valid: jax.Array, num_frames: int) -> jax.Array:
     """Scatter-add fused per-sub frame outputs onto the clip timeline.
@@ -128,16 +191,28 @@ def forward_repr(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
                  else c_v_feats_override)
     F = c_v_feats.shape[1]
 
-    sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
-    sub_v_feats = sub_v_feats * batch["sub_frame_mask"][..., None].astype(
-        sub_v_feats.dtype)
-
-    seq_out = enc.cross_modal_repr(
-        p["f_encoder"], cfg.f_config,
-        flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
-        flat(sub_v_feats), flat(batch["sub_frame_mask"]),
-        img_masks=None if f_img_masks is None else flat(f_img_masks),
-        rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
+    if f_img_masks is None and PROJECT_CLIP_LEVEL:
+        # hot path: clip-level projection + D-dim gather (exact; see
+        # _project_and_gather)
+        sub_v_in = flat(_project_and_gather(
+            p["f_encoder"]["img_embeddings"], c_v_feats, batch,
+            dtype=dtype))
+        seq_out = enc.cross_modal_repr(
+            p["f_encoder"], cfg.f_config,
+            flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
+            sub_v_in, flat(batch["sub_frame_mask"]),
+            v_feats_projected=True,
+            rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
+    else:
+        sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
+        sub_v_feats = sub_v_feats * batch["sub_frame_mask"][
+            ..., None].astype(sub_v_feats.dtype)
+        seq_out = enc.cross_modal_repr(
+            p["f_encoder"], cfg.f_config,
+            flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
+            flat(sub_v_feats), flat(batch["sub_frame_mask"]),
+            img_masks=None if f_img_masks is None else flat(f_img_masks),
+            rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
 
     frame_part = seq_out[:, :Fs].reshape(B, S, Fs, -1)
     valid = (batch["sub_frame_mask"]
@@ -241,15 +316,28 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
     # stage-1 consumes the zeroed feats (gathered from c_v_feats, NOT the
     # c-level mask-embedded version), stage-2 the mask-embedded ones
     B, S, Lt, Fs, flat = _flatten_subs(batch)
-    sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
-    sub_v_feats = sub_v_feats * batch["sub_frame_mask"][..., None].astype(
-        sub_v_feats.dtype)
-    seq_out = enc.cross_modal_repr(
-        p["f_encoder"], cfg.f_config,
-        flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
-        flat(sub_v_feats), flat(batch["sub_frame_mask"]),
-        img_masks=flat(f_img_masks),
-        rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
+    if PROJECT_CLIP_LEVEL:
+        # MFM masks derive from the clip-level c_mask, so the projection
+        # can run clip-level too (exact; see _project_and_gather)
+        sub_v_in = flat(_project_and_gather(
+            p["f_encoder"]["img_embeddings"], c_v_feats, batch,
+            clip_img_masks=c_mask, dtype=dtype))
+        seq_out = enc.cross_modal_repr(
+            p["f_encoder"], cfg.f_config,
+            flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
+            sub_v_in, flat(batch["sub_frame_mask"]),
+            v_feats_projected=True,
+            rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
+    else:
+        sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
+        sub_v_feats = sub_v_feats * batch["sub_frame_mask"][
+            ..., None].astype(sub_v_feats.dtype)
+        seq_out = enc.cross_modal_repr(
+            p["f_encoder"], cfg.f_config,
+            flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
+            flat(sub_v_feats), flat(batch["sub_frame_mask"]),
+            img_masks=flat(f_img_masks),
+            rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
     frame_part = seq_out[:, :Fs].reshape(B, S, Fs, -1)
     valid = (batch["sub_frame_mask"]
              * batch["sub_mask"][..., None]).astype(frame_part.dtype)

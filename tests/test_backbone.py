@@ -123,6 +123,36 @@ def test_mlm_fom_mfm(cfg, params):
     assert np.isfinite(float(s)) and float(n) > 0
 
 
+def test_clip_level_projection_variant_exact(cfg, params):
+    """The clip-level ImageEmbeddings projection (PROJECT_CLIP_LEVEL, an
+    MXU-layout variant measured in tools/perf_sweep.py) must be EXACT vs
+    the per-slot path on both forward_repr and the MFM path — LN/linear
+    are row-wise so they commute with the frame gather."""
+    batch = tiny_batch(cfg)
+    r = np.random.RandomState(5)
+    B, F = 2, cfg.max_clip_len
+    batch["c_v_masks"] = jnp.asarray(
+        (r.rand(B, F) < 0.3).astype(np.float32))
+    old = backbone.PROJECT_CLIP_LEVEL
+    try:
+        backbone.PROJECT_CLIP_LEVEL = False
+        repr_slot = np.asarray(
+            backbone.forward_repr(params["v_encoder"], cfg, batch))
+        mfm_slot = np.asarray(backbone.forward_mfm(
+            params["v_encoder"], cfg, batch, loss="nce",
+            compute_loss=False))
+        backbone.PROJECT_CLIP_LEVEL = True
+        repr_clip = np.asarray(
+            backbone.forward_repr(params["v_encoder"], cfg, batch))
+        mfm_clip = np.asarray(backbone.forward_mfm(
+            params["v_encoder"], cfg, batch, loss="nce",
+            compute_loss=False))
+    finally:
+        backbone.PROJECT_CLIP_LEVEL = old
+    np.testing.assert_allclose(repr_slot, repr_clip, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(mfm_slot, mfm_clip, rtol=2e-5, atol=2e-5)
+
+
 def test_dropout_train_mode(cfg, params):
     batch = tiny_batch(cfg)
     rng = jax.random.PRNGKey(3)

@@ -30,7 +30,10 @@ import bench
 
 
 def run_variant(name, *, batch=32, remat=False, pallas_min_lk=None,
-                drop_svmr=0.0, train=True, n_steps=20, unroll=True):
+                drop_svmr=0.0, train=True, n_steps=20, unroll=True,
+                clip_proj=True):
+    from hero_tpu.models import model as backbone
+    backbone.PROJECT_CLIP_LEVEL = clip_proj
     transformer.set_remat(remat)
     transformer.UNROLL = unroll
     if pallas_min_lk is not None:
@@ -96,6 +99,8 @@ VARIANTS = {
     "eval_mode": dict(train=False),  # diagnostic: dropout+PRNG cost bound
     "combo": dict(remat=True, drop_svmr=0.8),
     "combo_b64": dict(remat=True, drop_svmr=0.8, batch=64),
+    # A/B of the clip-level img-projection rewrite (models/model.py)
+    "slotproj": dict(clip_proj=False),
 }
 
 
