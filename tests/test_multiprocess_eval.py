@@ -101,10 +101,20 @@ def test_two_process_eval_matches_single(tmp_path):
     m0, m1 = results[0]["metrics"], results[1]["metrics"]
     assert m0 == m1 and m0
 
-    # merged 2-process metrics == single-process metrics over all queries
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from mp_eval_worker import run_eval
-    _, m_single = run_eval(0, 1)
+    # merged 2-process metrics == single-process metrics over all queries.
+    # The baseline runs as a THIRD subprocess with the IDENTICAL env: the
+    # pytest process uses an 8-virtual-device CPU backend whose reduction
+    # partitioning can differ from the workers' 1-device backend, and the
+    # untrained model's near-tie scores make rankings sensitive to
+    # summation order (observed flaking under machine saturation)
+    single_out = str(tmp_path / "single.json")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "mp_eval_worker.py"),
+         "0", "1", str(_free_port()), single_out],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, timeout=420)
+    assert p.returncode == 0, p.stdout.decode()[-3000:]
+    m_single = json.load(open(single_out))["metrics"]
     for task in m_single:
         for k, v in m_single[task].items():
             if k == "desc_type_ratio":
