@@ -31,8 +31,8 @@ import bench
 
 def run_variant(name, *, batch=32, remat=False, pallas_min_lk=None,
                 drop_svmr=0.0, train=True, n_steps=20, unroll=True,
-                clip_proj=True):
-    from hero_tpu.models import model as backbone
+                clip_proj=False):     # False = module default (measured
+    from hero_tpu.models import model as backbone   # faster; model.py)
     backbone.PROJECT_CLIP_LEVEL = clip_proj
     transformer.set_remat(remat)
     transformer.UNROLL = unroll
@@ -99,8 +99,12 @@ VARIANTS = {
     "eval_mode": dict(train=False),  # diagnostic: dropout+PRNG cost bound
     "combo": dict(remat=True, drop_svmr=0.8),
     "combo_b64": dict(remat=True, drop_svmr=0.8, batch=64),
-    # A/B of the clip-level img-projection rewrite (models/model.py)
+    # A/B of the clip-level img-projection rewrite (models/model.py);
+    # "base" runs the per-slot default, "clipproj" the rejected variant
     "slotproj": dict(clip_proj=False),
+    "clipproj": dict(clip_proj=True),
+    # NOTE: b128 crashes the tunnel's remote-compile helper (HTTP 500,
+    # tpu_compile_helper exit 1) — run it last / standalone if at all
 }
 
 
