@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from hero_tpu.config.model_config import HeroConfig
 from hero_tpu.models import encoder as enc
 from hero_tpu.models import nn, transformer
+from hero_tpu.parallel import mesh as pmesh
 
 Params = Dict[str, Any]
 
@@ -228,10 +229,15 @@ def forward_repr(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
 
     if not encode_clip:
         return transformed
-    return enc.temporal_trm(p["c_encoder"], cfg.c_config, transformed,
-                            batch["c_attn_masks"],
-                            rng=nn.rng_for(rng, "c_enc"), train=train,
-                            dtype=dtype)
+    # sequence parallelism (opt-in, parallel/mesh.enable_seq_parallel):
+    # shard the clip-frame axis of the temporal stack over the 'seq' mesh
+    # axis — LN/MLP partition cleanly, XLA inserts attention all-gathers
+    transformed = pmesh.seq_constraint(transformed)
+    return pmesh.seq_constraint(
+        enc.temporal_trm(p["c_encoder"], cfg.c_config, transformed,
+                         batch["c_attn_masks"],
+                         rng=nn.rng_for(rng, "c_enc"), train=train,
+                         dtype=dtype))
 
 
 def forward_txt(p: Params, cfg: HeroConfig, input_ids, attn_mask, *,

@@ -127,6 +127,46 @@ def host_allgather(obj: Any) -> list:
 MODEL_AXIS = "model"
 
 
+def get_seq_mesh(n_data: int, n_seq: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(data, seq) mesh: sequence parallelism over the clip-frame axis.
+
+    Beyond the reference, which caps sequence length instead (SURVEY
+    §5.7): with :func:`enable_seq_parallel`, the temporal encoder's
+    (B, F, D) activations are sharded over ``seq`` on the frame axis —
+    LayerNorm/MLP/residual work partitions cleanly, and XLA inserts the
+    attention all-gathers over ICI.  Lets the 3-layer temporal stack
+    scale past per-chip memory for long clips (HowTo100M 60-s windows and
+    beyond) without touching model code."""
+    if devices is None:
+        devices = jax.devices()
+    assert n_data * n_seq <= len(devices)
+    arr = np.asarray(devices[:n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
+_ACTIVE_SEQ_MESH: Optional[Mesh] = None
+
+
+def enable_seq_parallel(mesh: Optional[Mesh]) -> None:
+    """Activate (or, with None, deactivate) sequence-parallel sharding
+    constraints for subsequently TRACED programs.  The mesh must carry a
+    'seq' axis (see :func:`get_seq_mesh`)."""
+    global _ACTIVE_SEQ_MESH
+    assert mesh is None or SEQ_AXIS in mesh.axis_names
+    _ACTIVE_SEQ_MESH = mesh
+
+
+def seq_constraint(x: jax.Array) -> jax.Array:
+    """Constrain (B, L, D) activations to (data, seq, None) when a seq
+    mesh is enabled; identity otherwise (the common 1-D-mesh case)."""
+    m = _ACTIVE_SEQ_MESH
+    if m is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(m, P(DATA_AXIS, SEQ_AXIS, None)))
+
+
 def get_2d_mesh(n_data: int, n_model: int,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """(data, model) mesh for DP×TP — a capability beyond the reference's

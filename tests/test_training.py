@@ -250,6 +250,59 @@ def test_tensor_parallel_train_step():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_sequence_parallel_train_step():
+    """DP×SP on a 4x2 virtual mesh: with enable_seq_parallel, the temporal
+    encoder's frame axis shards over 'seq' (activations really carry the
+    seq axis), and the step matches the plain-DP step numerically —
+    XLA inserts the attention gathers (beyond-reference capability;
+    the reference caps sequence length instead, SURVEY §5.7)."""
+    from hero_tpu.parallel.mesh import (enable_seq_parallel, get_mesh,
+                                        get_seq_mesh, shard_task_batch)
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(5), cfg)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+
+    def loss_fn(p, batch, rng):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                       train=False)
+        return a + b + c, {}
+
+    from hero_tpu.models import model as backbone
+    batch_np = {k: np.asarray(v) for k, v in tiny_batch(cfg, B=4).items()}
+
+    mesh_sp = get_seq_mesh(4, 2)
+    enable_seq_parallel(mesh_sp)
+    try:
+        step_sp = make_sharded_train_step(loss_fn, spec, mesh_sp,
+                                          donate=False)
+        state_sp = shard_state(TrainState.create(params), mesh_sp)
+        b_sp = shard_task_batch(batch_np, mesh_sp)
+        state_sp, m_sp = step_sp(state_sp, b_sp, jax.random.PRNGKey(0))
+        # the constrained activations really shard over ('data', 'seq')
+        fwd = jax.jit(lambda p, b: backbone.forward_repr(
+            p["v_encoder"], cfg, b))
+        out = fwd(state_sp.params, b_sp)
+        assert "seq" in str(out.sharding.spec), out.sharding
+    finally:
+        enable_seq_parallel(None)
+
+    mesh1d = get_mesh(4)
+    step_dp = make_sharded_train_step(loss_fn, spec, mesh1d, donate=False)
+    state_dp = shard_state(TrainState.create(params), mesh1d)
+    b_dp = shard_task_batch(batch_np, mesh1d)
+    state_dp, m_dp = step_dp(state_dp, b_dp, jax.random.PRNGKey(0))
+
+    assert float(m_sp["loss"]) == pytest.approx(float(m_dp["loss"]),
+                                                rel=2e-4)
+    a = jax.device_get(state_sp.params["head"]["video_query_linear"]
+                       ["kernel"])
+    b = jax.device_get(state_dp.params["head"]["video_query_linear"]
+                       ["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_vsm_global_batch_semantics_under_sharding():
     """The VSM in-batch negative pool must be the GLOBAL batch: computing
     the loss on a batch sharded over 8 devices must equal the same batch
