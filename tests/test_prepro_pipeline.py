@@ -109,3 +109,55 @@ def test_prepro_pipeline_to_model(raw):
     item = video_db.video_item("v0")
     assert item["sub_mask"].sum() >= 1
     assert np.isfinite(item["c_v_feats"]).all()
+
+
+def test_collect_video_feature_paths(tmp_path):
+    """collect_video_feature_paths.py: nested tree walk, corrupted-file
+    quarantine, reference pkl schema, and --feat_info conversion
+    (reference scripts/collect_video_feature_paths.py:13-96)."""
+    import pickle
+
+    r = np.random.RandomState(1)
+    feat = tmp_path / "feats"
+    for show in ("showA", "showB"):
+        (feat / "slowfast_features" / show).mkdir(parents=True)
+        (feat / "resnet_features" / show).mkdir(parents=True)
+    vids = {"showA": ["a1", "a2"], "showB": ["b1"]}
+    for show, names in vids.items():
+        for vid in names:
+            nf = r.randint(6, 10)
+            np.savez(feat / "slowfast_features" / show / f"{vid}.npz",
+                     features=r.randn(nf, 40).astype(np.float16))
+            np.savez(feat / "resnet_features" / show / f"{vid}.npz",
+                     features=r.randn(nf + 1, 24).astype(np.float16))
+    # corrupted slowfast + missing resnet
+    (feat / "slowfast_features" / "showA" / "bad.npz").write_bytes(b"xx")
+    np.savez(feat / "slowfast_features" / "showB" / "orphan.npz",
+             features=r.randn(5, 40).astype(np.float16))
+
+    run_script("collect_video_feature_paths.py",
+               "--feature_dir", str(feat), "--output", str(tmp_path),
+               "--dataset", "tv", "--nproc", "1")
+    out = tmp_path / "tv"
+    with open(out / "video_feat_info.pkl", "rb") as f:
+        info = pickle.load(f)
+    assert set(info) == {"a1", "a2", "b1", "bad", "orphan"}
+    # record schema: (frame_len, slowfast_path, resnet_path, folder)
+    fl, sf, rn, folder = info["a1"]
+    assert fl >= 6 and sf.endswith("a1.npz") and rn.endswith("a1.npz")
+    assert folder == "showA"
+    assert info["bad"][1] == "" and info["bad"][0] == 0
+    assert info["orphan"][2] == ""
+    with open(out / "failed_slowfast_files.pkl", "rb") as f:
+        assert pickle.load(f) == ["showA/bad"]
+    with open(out / "failed_resnet_files.pkl", "rb") as f:
+        failed_rn = pickle.load(f)
+    assert set(failed_rn) == {"showA/bad", "showB/orphan"}
+
+    # conversion consumes the pkl and skips failed records
+    run_script("convert_videodb.py", "--feat_info",
+               str(out / "video_feat_info.pkl"),
+               "--output", str(tmp_path / "video_db"))
+    vstore = VideoFeatStore(str(tmp_path / "video_db"), max_clip_len=16)
+    assert set(vstore.name2nframe) == {"a1", "a2", "b1"}
+    assert vstore["a1"].shape[1] == 64
