@@ -115,18 +115,31 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     n_band = int(band_pos.shape[0])
 
     # corpus tensors and params enter as jit ARGUMENTS — closing over them
-    # would bake hundreds of MB of constants into the compiled program
+    # would bake hundreds of MB of constants into the compiled program.
+    # Span softmaxes run AFTER video selection: softmax is row-wise over
+    # L, so softmax(gather(st)) == gather(softmax(st)) exactly — ~Nv/max_v
+    # times less softmax work, and only the small selected/GT tensors ever
+    # leave the device (the dense (Nq, Nv, L) probability cubes stay
+    # unmaterialized; the reference materializes + ships them,
+    # eval_vcmr.py:237-259).
     @functools.partial(jax.jit, static_argnames=())
-    def _score(params, frame_embs, frame_masks, q_ids, q_masks):
+    def _score(params, frame_embs, frame_masks, q_ids, q_masks, gt_vidx):
         scores, st, ed = vcmr_lib.get_pred_from_raw_query(
             params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
             cross=True, dtype=dtype)
-        st_p = jax.nn.softmax(st.astype(jnp.float32), -1)   # (Nq, Nv, L)
-        ed_p = jax.nn.softmax(ed.astype(jnp.float32), -1)
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
         top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
-        st_sel = jnp.take_along_axis(st_p, top_idx[..., None], axis=1)
-        ed_sel = jnp.take_along_axis(ed_p, top_idx[..., None], axis=1)
+        st_sel = jnp.take_along_axis(st, top_idx[..., None], axis=1)
+        ed_sel = jnp.take_along_axis(ed, top_idx[..., None], axis=1)
+        st_sel = jax.nn.softmax(st_sel.astype(jnp.float32), -1)
+        ed_sel = jax.nn.softmax(ed_sel.astype(jnp.float32), -1)
+        # SVMR ground-truth rows, gathered on device (host slicing of the
+        # full cube would force a (Nq, Nv, L) device→host fetch per batch)
+        gt = gt_vidx[:, None, None]
+        st_gt = jnp.take_along_axis(st, gt, axis=1)[:, 0]
+        ed_gt = jnp.take_along_axis(ed, gt, axis=1)[:, 0]
+        st_gt = jax.nn.softmax(st_gt.astype(jnp.float32), -1)
+        ed_gt = jax.nn.softmax(ed_gt.astype(jnp.float32), -1)
         # score only the in-band (st, ed) pairs: (Nq, max_v, n_band)
         vals = (st_sel[..., band_st] * ed_sel[..., band_ed]
                 * top_scores[..., None])
@@ -142,11 +155,13 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
             idx1.reshape(nq, -1), vid * k1 + idx2 % k1, axis=1)
         # same flat (video, st·L + ed) layout the host decode expects
         flat_idx = vid * (L * L) + band_pos[pos]
-        return (scores.astype(jnp.float32), st_p, ed_p, top_scores,
-                top_idx, sc2, flat_idx)
+        return (st_gt, ed_gt, top_scores, top_idx, sc2, flat_idx)
 
-    def score(q_ids, q_masks):
-        return _score(params, frame_embs, frame_masks, q_ids, q_masks)
+    def score(q_ids, q_masks, gt_vidx=None):
+        if gt_vidx is None:
+            gt_vidx = jnp.zeros((q_ids.shape[0],), jnp.int32)
+        return _score(params, frame_embs, frame_masks, q_ids, q_masks,
+                      gt_vidx)
 
     return score, max_v
 
@@ -193,13 +208,15 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
         n_ex += len(qids)
         if any(v == "" or v is None for v in vids):
             has_gt_target = False
+        gt_vidx = np.asarray([video2idx_local.get(v, 0) for v in vids],
+                             dtype=np.int32)
         out = scorer(jnp.asarray(batch["query_input_ids"]),
-                     jnp.asarray(batch["query_attn_masks"]))
-        scores, st_p, ed_p, tsc, tidx, fsc, fidx = map(np.asarray, out)
+                     jnp.asarray(batch["query_attn_masks"]),
+                     jnp.asarray(gt_vidx))
+        st_gt, ed_gt, tsc, tidx, fsc, fidx = map(np.asarray, out)
         if "SVMR" in opts.full_eval_tasks and has_gt_target:
-            gt_vidx = np.asarray([video2idx_local[v] for v in vids])
-            svmr_st.append(st_p[np.arange(len(qids)), gt_vidx])
-            svmr_ed.append(ed_p[np.arange(len(qids)), gt_vidx])
+            svmr_st.append(st_gt)
+            svmr_ed.append(ed_gt)
         top_scores_all.append(tsc)
         top_idx_all.append(tidx)
         flat_scores_all.append(fsc)

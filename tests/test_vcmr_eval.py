@@ -160,3 +160,68 @@ def test_sharded_corpus_eval_matches_unsharded(setup):
             for pa, pb in zip(a["predictions"], b["predictions"]):
                 assert pa[:3] == pb[:3]
                 assert pa[3] == pytest.approx(pb[3], rel=1e-5)
+
+
+def test_scorer_matches_dense_reference(setup):
+    """Band-gather scorer with softmax-after-top-k == the reference-style
+    dense path (full softmax over all videos, dense (L, L) span cube,
+    global sort — reference eval_vcmr.py:237-323)."""
+    from hero_tpu.evaluation.vcmr_eval import (embed_video_corpus,
+                                               make_query_scorer)
+    from hero_tpu.models import vcmr as vcmr_lib
+
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    opts = VcmrEvalOpts(max_vcmr_video=4, min_pred_l=1, max_pred_l=4,
+                        max_before_nms=12, vfeat_interval=1.5,
+                        max_clip_len=shape.n_frames)
+    frame_embs, frame_masks = embed_video_corpus(
+        params, cfg, _video_batches(shape, 2), shape.n_frames,
+        dtype=jnp.float32)
+    nv = int(frame_embs.shape[0])
+    L = int(frame_embs.shape[1])
+    r = np.random.RandomState(7)
+    nq = 5
+    q_ids = jnp.asarray(r.randint(3, 128, (nq, 6)).astype(np.int32))
+    q_mask = jnp.ones((nq, 6), np.float32)
+    gt_vidx = jnp.asarray(r.randint(0, nv, (nq,)).astype(np.int32))
+
+    scorer, max_v = make_query_scorer(params, cfg, vsm, opts, frame_embs,
+                                      frame_masks, jnp.float32)
+    st_gt, ed_gt, tsc, tidx, fsc, fidx = map(
+        np.asarray, scorer(q_ids, q_mask, gt_vidx))
+
+    # dense path
+    scores, st, ed = vcmr_lib.get_pred_from_raw_query(
+        params, cfg, vsm, frame_embs, frame_masks, q_ids, q_mask,
+        cross=True, dtype=jnp.float32)
+    st_p = np.asarray(jax.nn.softmax(st.astype(jnp.float32), -1))
+    ed_p = np.asarray(jax.nn.softmax(ed.astype(jnp.float32), -1))
+    sharp = np.exp(opts.q2c_alpha * np.asarray(scores, np.float32))
+
+    # GT-row probabilities match the full-softmax rows exactly
+    rows = np.arange(nq)
+    np.testing.assert_allclose(st_gt, st_p[rows, np.asarray(gt_vidx)],
+                               rtol=1e-6)
+    np.testing.assert_allclose(ed_gt, ed_p[rows, np.asarray(gt_vidx)],
+                               rtol=1e-6)
+
+    band = tvr_metrics.generate_min_max_length_mask(
+        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
+    for qi in range(nq):
+        order = np.argsort(-sharp[qi])[:max_v]
+        assert set(np.asarray(tidx)[qi]) == set(order)
+        # dense cube over the selected videos, every (st, ed) position
+        dense = {}
+        for rank, vi in enumerate(np.asarray(tidx)[qi]):
+            cube = np.outer(st_p[qi, vi], ed_p[qi, vi]) * sharp[qi, vi]
+            cube = cube * band
+            for flat in np.argsort(-cube.reshape(-1))[:opts.max_before_nms]:
+                dense[rank * L * L + flat] = cube.reshape(-1)[flat]
+        want = sorted(dense.values(), reverse=True)[:opts.max_before_nms]
+        np.testing.assert_allclose(fsc[qi], want, rtol=1e-5)
+        # flat indices decode to the same (video, st, ed) triples
+        got = {int(i): float(s) for i, s in zip(fidx[qi], fsc[qi])}
+        for flat_i, s in got.items():
+            assert flat_i in dense
+            np.testing.assert_allclose(s, dense[flat_i], rtol=1e-5)
