@@ -371,7 +371,7 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
         err = jnp.sum(jnp.square(pred.astype(jnp.float32) - targets),
                       axis=-1)
         return jnp.sum(err * masked), jnp.sum(masked) * targets.shape[-1]
-    return _mfm_nce_loss(pred.astype(jnp.float32), targets, masked,
+    return _mfm_nce_loss(pred, targets, masked,
                          frame_valid * (1.0 - c_mask), cfg.nce_temp)
 
 
@@ -381,15 +381,22 @@ def _mfm_nce_loss(pred, targets, masked, unmasked, temp):
     For each masked position, logits over [all masked targets ; all
     unmasked predictions]; label = own column.  Fixed-shape version of the
     reference's dynamic masked/neg extraction: invalid columns get -1e4.
+
+    The two (N, N, 4352) logit matmuls run in the MODEL dtype with fp32
+    accumulation — the reference computes them in apex-fp16
+    (model/model.py:274-289 under AMP O2), and fp32 MXU issue costs ~4 ms
+    of the mfm-nce step at the bench shape.  Softmax/CE stay fp32.
     """
     B, F, V = pred.shape
     N = B * F
     predf = pred.reshape(N, V)
-    tgtf = targets.reshape(N, V)
+    tgtf = targets.astype(pred.dtype).reshape(N, V)
     mflat = masked.reshape(N)
     uflat = unmasked.reshape(N)
-    pos_logits = predf @ tgtf.T                     # (N, N) vs masked tgts
-    neg_logits = predf @ predf.T                    # (N, N) vs unmasked preds
+    pos_logits = jnp.dot(predf, tgtf.T,             # (N, N) vs masked tgts
+                         preferred_element_type=jnp.float32)
+    neg_logits = jnp.dot(predf, predf.T,            # (N, N) vs unmasked preds
+                         preferred_element_type=jnp.float32)
     pos_logits = nn.mask_logits(pos_logits, mflat[None, :])
     neg_logits = nn.mask_logits(neg_logits, uflat[None, :])
     logits = jnp.concatenate([pos_logits, neg_logits], axis=1) / temp
