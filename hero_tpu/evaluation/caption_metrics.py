@@ -21,7 +21,7 @@ import math
 import re
 import shutil
 from collections import Counter, defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from hero_tpu.utils.logger import LOGGER
 
@@ -257,7 +257,57 @@ def meteor_available() -> bool:
 # jar's MeteorStats accumulation does.
 
 _MET_ALPHA, _MET_BETA, _MET_GAMMA, _MET_DELTA = 0.85, 0.2, 0.6, 0.75
-_MET_WEIGHTS = (1.0, 0.6)  # exact, stem
+_MET_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (jar's en weights)
+
+# Synonym module (jar matcher weight 0.8): enabled when synonym data is
+# available — either a meteor-style synsets file (lines ``word id id ...``)
+# pointed to by $HERO_METEOR_SYNONYMS, or an installed NLTK WordNet corpus
+# (the jar's synonymy is WordNet-derived).  Neither ships in this image
+# (zero egress), so the stage self-disables and the variant marker says
+# which modules ran.
+_SYN_TABLE: Optional[Dict[str, frozenset]] = None
+_SYN_SOURCE: Optional[str] = None
+_SYN_LOADED = False
+
+
+def _load_synonyms():
+    """Lazy one-shot probe for synonym data; returns (table|None, source)."""
+    global _SYN_TABLE, _SYN_SOURCE, _SYN_LOADED
+    if _SYN_LOADED:
+        return _SYN_TABLE, _SYN_SOURCE
+    _SYN_LOADED = True
+    import os
+    path = os.environ.get("HERO_METEOR_SYNONYMS")
+    if path and os.path.exists(path):
+        table: Dict[str, set] = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    table.setdefault(parts[0], set()).update(parts[1:])
+        _SYN_TABLE = {w: frozenset(s) for w, s in table.items()}
+        _SYN_SOURCE = "file"
+        return _SYN_TABLE, _SYN_SOURCE
+    try:
+        from nltk.corpus import wordnet
+        wordnet.synsets("test")        # raises LookupError without data
+        _SYN_TABLE = {}                # sentinel: query wordnet lazily
+        _SYN_SOURCE = "wordnet"
+    except Exception:
+        _SYN_TABLE, _SYN_SOURCE = None, None
+    return _SYN_TABLE, _SYN_SOURCE
+
+
+def _synsets(word: str) -> frozenset:
+    table, source = _load_synonyms()
+    if source == "file":
+        return table.get(word, frozenset())
+    if source == "wordnet":
+        if word not in table:
+            from nltk.corpus import wordnet
+            table[word] = frozenset(s.name() for s in wordnet.synsets(word))
+        return table[word]
+    return frozenset()
 
 # Approximation of the jar's English function-word list (words with
 # relative corpus frequency > 1e-3: closed-class words + clitics).  The
@@ -276,24 +326,36 @@ which who whom 's 't n't 'll 're 've 'm 'd
 
 
 def _meteor_align(hyp: List[str], ref: List[str]):
-    """Stage-wise alignment (exact → stem), each hyp/ref word used at most
-    once.  Ties prefer the ref position that CONTINUES the previous match
-    run (the jar's beam aligner maximizes matches then minimizes chunks;
-    this tie-break captures its dominant effect).  Returns
-    (align: hyp→ref, stage: hyp→module index)."""
+    """Stage-wise alignment (exact → stem → synonym when data present),
+    each hyp/ref word used at most once.  Ties prefer the ref position
+    that CONTINUES the previous match run (the jar's beam aligner
+    maximizes matches then minimizes chunks; this tie-break captures its
+    dominant effect).  Returns (align: hyp→ref, stage: hyp→module index).
+    """
     from hero_tpu.evaluation.snowball import snowball_stem
+
+    def exact_cands(ht, r_keys, r_used):
+        return [j for j, rt in enumerate(r_keys)
+                if not r_used[j] and ht == rt]
+
+    def syn_cands(hs, ref_sets, r_used):
+        return [j for j, rs in enumerate(ref_sets)
+                if not r_used[j] and hs and rs and (hs & rs)]
+
+    stages = [(lambda t: t, exact_cands), (snowball_stem, exact_cands)]
+    if _load_synonyms()[0] is not None:
+        stages.append((_synsets, syn_cands))
+
     h_used = [False] * len(hyp)
     r_used = [False] * len(ref)
     align: Dict[int, int] = {}
     stage: Dict[int, int] = {}
-    for si, key in enumerate((lambda t: t, snowball_stem)):
+    for si, (key, cands_fn) in enumerate(stages):
         r_keys = [key(t) for t in ref]
         for i, t in enumerate(hyp):
             if h_used[i]:
                 continue
-            ht = key(t)
-            cands = [j for j, rt in enumerate(r_keys)
-                     if not r_used[j] and ht == rt]
+            cands = cands_fn(key(t), r_keys, r_used)
             if not cands:
                 continue
             want = align.get(i - 1, -2) + 1   # continue the run if possible
@@ -401,6 +463,9 @@ class TVCEval:
         # (ADVICE r2): numbers are not comparable to jar-produced METEOR
         # at the second decimal (no WordNet synonym/paraphrase stages).
         out["METEOR"] = round(meteor(gts, res), 4)
-        out["METEOR_variant"] = ("python meteor-1.5-en exact+snowball "
-                                 "(no WordNet syn/para)")
+        syn_src = _load_synonyms()[1]
+        out["METEOR_variant"] = (
+            "python meteor-1.5-en exact+snowball"
+            + (f"+synonym[{syn_src}] (no paraphrase)" if syn_src
+               else " (no WordNet syn/para)"))
         return out

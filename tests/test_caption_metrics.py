@@ -294,3 +294,46 @@ def test_tvc_eval_includes_meteor(tmp_path):
     # identical captions: Fmean=1, penalized by 0.6·(1/m)^0.2 (1.5-en)
     assert "METEOR" in out and 0.5 < out["METEOR"] < 0.7
     assert "snowball" in out["METEOR_variant"]
+
+
+def test_meteor_synonym_stage(tmp_path, monkeypatch):
+    """Synonym module (jar matcher weight 0.8) activates from a
+    meteor-style synsets file and credits synonym-only matches."""
+    def reset():
+        ours._SYN_LOADED = False
+        ours._SYN_TABLE = None
+        ours._SYN_SOURCE = None
+
+    hyp = "the child strolls home".split()
+    ref = "the kid strolls home".split()
+
+    # without data: 'child'/'kid' are unmatched
+    reset()
+    monkeypatch.delenv("HERO_METEOR_SYNONYMS", raising=False)
+    base_align, base_stage = ours._meteor_align(hyp, ref)
+    assert 1 not in base_align
+    base = ours._meteor_score(ours._meteor_stats(hyp, ref))
+
+    syn = tmp_path / "synsets.txt"
+    syn.write_text("child s100 s200\nkid s200\nhome s300\n")
+    reset()
+    monkeypatch.setenv("HERO_METEOR_SYNONYMS", str(syn))
+    align, stage = ours._meteor_align(hyp, ref)
+    assert align[1] == 1 and stage[1] == 2      # synonym stage index
+    assert ours._MET_WEIGHTS[2] == 0.8
+    syn_score = ours._meteor_score(ours._meteor_stats(hyp, ref))
+    assert syn_score > base
+    # exact matches still preferred over synonym self-ids ('home' matched
+    # at the exact stage, not synonym)
+    assert stage[3] == 0
+
+    # variant marker reports the active modules
+    import json
+    refs = tmp_path / "r.jsonl"
+    refs.write_text(json.dumps(
+        {"clip_id": 1, "descs": [{"desc": "the kid strolls home"}]}) + "\n")
+    ev = ours.TVCEval(str(refs))
+    out = ev([{"clip_id": 1,
+               "descs": [{"desc": "the child strolls home"}]}])
+    assert "synonym[file]" in out["METEOR_variant"]
+    reset()
