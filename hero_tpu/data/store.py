@@ -186,10 +186,15 @@ class VideoFeatStore:
         return vid in self.store
 
     def __getitem__(self, vid: str) -> np.ndarray:
+        # keep the storage dtype (float16 — the reference VideoFeatLmdb
+        # also yields float16, data/data.py:52-122): the fp32 upcast used
+        # to cost ~40% of host batch-assembly time and doubled the
+        # host→device bytes; models cast at ingestion
+        # (embed.project_image_features)
         feat = self.store[vid]
         if self.max_clip_len != -1:
             feat = feat[:self.max_clip_len]
-        return np.asarray(feat, dtype=np.float32)
+        return np.asarray(feat)
 
 
 class TxtTokStore:

@@ -67,7 +67,9 @@ def base_batch(shape: BatchShape, seed: int = 0) -> Dict[str, np.ndarray]:
 
     nf = r.randint(F // 2, F + 1, (B,))
     c_attn_masks = (np.arange(F)[None, :] < nf[:, None]).astype(np.float32)
-    c_v_feats = r.randn(B, F, shape.vfeat_dim).astype(np.float32)
+    # float16 mirrors the production store dtype (VideoFeatStore yields
+    # the storage float16; models cast at ingestion)
+    c_v_feats = r.randn(B, F, shape.vfeat_dim).astype(np.float16)
     c_v_feats *= c_attn_masks[..., None]
 
     return {

@@ -217,7 +217,7 @@ class VideoFeatSubTokDataset:
             "sub_frame_mask": np.zeros((sp.n_subs, sp.frames_per_sub),
                                        np.float32),
             "sub_mask": np.zeros((sp.n_subs,), np.float32),
-            "c_v_feats": np.zeros((sp.n_frames, sp.vfeat_dim), np.float32),
+            "c_v_feats": np.zeros((sp.n_frames, sp.vfeat_dim), np.float16),
             "c_attn_masks": np.zeros((sp.n_frames,), np.float32),
         }
         out["c_v_feats"][:nframes] = v_feat
@@ -289,7 +289,7 @@ class VideoOnlyDataset:
             "sub_frame_mask": np.zeros((sp.n_subs, sp.frames_per_sub),
                                        np.float32),
             "sub_mask": np.zeros((sp.n_subs,), np.float32),
-            "c_v_feats": np.zeros((sp.n_frames, sp.vfeat_dim), np.float32),
+            "c_v_feats": np.zeros((sp.n_frames, sp.vfeat_dim), np.float16),
             "c_attn_masks": np.zeros((sp.n_frames,), np.float32),
         }
         out["c_v_feats"][:nframes] = v_feat

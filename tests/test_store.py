@@ -93,4 +93,6 @@ def test_typed_wrappers(tmp_path):
     vs = store_lib.VideoFeatStore(db, max_clip_len=8)
     assert vs.name2nframe["vid0"] == 8
     assert vs["vid0"].shape == (8, 16)
-    assert vs["vid0"].dtype == np.float32
+    # storage dtype preserved (reference VideoFeatLmdb yields float16 too;
+    # models cast at ingestion)
+    assert vs["vid0"].dtype == np.float16
