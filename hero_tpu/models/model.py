@@ -18,7 +18,8 @@ sub_txt_mask        (B, S, Lt)    1 = valid text token
 sub_frame_idx       (B, S, Fs)    clip-frame index per sub frame-slot
 sub_frame_mask      (B, S, Fs)    1 = valid frame slot
 sub_mask            (B, S)        1 = valid subtitle row
-c_v_feats           (B, F, vdim)  clip-level frame features
+c_v_feats           (B, F, vdim)  clip-level frame features (storage
+                                  fp16; cast at ingestion / loss sites)
 c_attn_masks        (B, F)        1 = valid frame
 ==================  ============  =======================================
 
@@ -287,9 +288,14 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
     """
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    # logsumexp - picked ≡ -log_softmax[label], but never materializes the
+    # full (..., vocab) fp32 log-prob tensor (log_softmax writes ~1 GB at
+    # the MLM bench shape before gathering ONE element per row; the lse
+    # reduction fuses and its backward recomputes softmax in-fusion)
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(nll), jnp.sum(valid)
 
 

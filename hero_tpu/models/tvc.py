@@ -93,12 +93,17 @@ def label_smoothing_loss(logits: jax.Array, targets: jax.Array,
     V = logits.shape[-1]
     valid = targets != ignore_index
     safe = jnp.where(valid, targets, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     eps = label_smoothing / (V - 1)
     conf = 1.0 - label_smoothing
-    # sum_v q_v (log q_v - logp_v); q has eps everywhere, conf at target
-    tgt_logp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    sum_logp = jnp.sum(logp, axis=-1)
+    # sum_v q_v (log q_v - logp_v); q has eps everywhere, conf at target.
+    # logp_v = logits_v - lse, so tgt_logp and sum_logp reduce without
+    # materializing the full (..., V) fp32 log-prob tensor (cf.
+    # masked_cross_entropy in models/model.py)
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt_logp = jnp.take_along_axis(logits, safe[..., None],
+                                   axis=-1)[..., 0] - lse
+    sum_logp = jnp.sum(logits, axis=-1) - V * lse
     cross = -(eps * (sum_logp - tgt_logp) + conf * tgt_logp)
     import math
     q_ent = ((V - 1) * eps * math.log(eps) if eps > 0 else 0.0) \
