@@ -123,6 +123,40 @@ def test_mlm_fom_mfm(cfg, params):
     assert np.isfinite(float(s)) and float(n) > 0
 
 
+def test_mfm_nce_capped_matches_dense():
+    """The fixed-cap masked-row NCE (argsort gather, (M,M)+(M,N) logits)
+    must equal the dense 2·(N,N) formulation it replaced — dropped pos
+    columns carried -1e4 logits whose exp underflows to exactly 0."""
+    r = np.random.RandomState(5)
+    B, F, V = 4, 64, 16                       # N=256 > cap M=128
+    pred = jnp.asarray(r.randn(B, F, V).astype(np.float32))
+    targets = jnp.asarray(r.randn(B, F, V).astype(np.float32))
+    valid = (r.rand(B, F) > 0.1).astype(np.float32)
+    cmask = (r.rand(B, F) < 0.15).astype(np.float32) * valid
+    masked = jnp.asarray(cmask)
+    unmasked = jnp.asarray(valid * (1.0 - cmask))
+    temp = 1.0
+
+    def dense(pred, targets, masked, unmasked):
+        from hero_tpu.models import nn
+        N = B * F
+        predf = pred.reshape(N, V)
+        tgtf = targets.reshape(N, V)
+        mflat, uflat = masked.reshape(N), unmasked.reshape(N)
+        pos = nn.mask_logits(predf @ tgtf.T, mflat[None, :])
+        neg = nn.mask_logits(predf @ predf.T, uflat[None, :])
+        logp = jax.nn.log_softmax(
+            jnp.concatenate([pos, neg], 1) / temp, axis=-1)
+        nll = -jnp.take_along_axis(logp, jnp.arange(N)[:, None], 1)[:, 0]
+        return jnp.sum(nll * mflat), jnp.sum(mflat)
+
+    s_want, n_want = dense(pred, targets, masked, unmasked)
+    s_got, n_got = backbone._mfm_nce_loss(pred, targets, masked,
+                                          unmasked, temp)
+    assert float(n_got) == float(n_want)
+    np.testing.assert_allclose(float(s_got), float(s_want), rtol=1e-5)
+
+
 def test_clip_level_projection_variant_exact(cfg, params):
     """The clip-level ImageEmbeddings projection (PROJECT_CLIP_LEVEL, an
     MXU-layout variant measured in tools/perf_sweep.py) must be EXACT vs

@@ -165,6 +165,24 @@ def test_dropout_add_layer_norm_jnp_dropout():
     assert out.shape == (64, 32) and np.isfinite(np.asarray(out)).all()
 
 
+def test_nn_dropout_statistics():
+    """uint16-bits dropout: drop rate within the k/65536 quantization of
+    the requested rate, survivors scaled by exactly 1/(1-rate), rate~1
+    drops everything, and rng=None / rate=0 are identity."""
+    from hero_tpu.models.nn import dropout
+    x = jnp.ones((512, 512))
+    for rate in (0.1, 0.5, 0.9):
+        out = np.asarray(dropout(x, rate, jax.random.PRNGKey(7)))
+        dropped = (out == 0.0).mean()
+        # binomial std over 262k draws ~ 1e-3; allow 5 sigma
+        assert abs(dropped - rate) < 5e-3, (rate, dropped)
+        kept = out[out != 0.0]
+        np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
+    assert np.asarray(dropout(x, 1.0, jax.random.PRNGKey(0))).sum() == 0.0
+    assert dropout(x, 0.5, None) is x
+    assert dropout(x, 0.0, jax.random.PRNGKey(0)) is x
+
+
 def test_layer_norm_matches_reference():
     rng = jax.random.PRNGKey(4)
     x = jax.random.normal(rng, (10, 3, 256)) * 3 + 1
