@@ -257,17 +257,29 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 # which then skips the qk matmul, softmax recompute, and mask add.
 
 
+def _zero_oob_rows(t, n_valid: int):
+    """Zero block rows ≥ n_valid.  k/v arrive as (Lk_p, D) blocks over
+    unpadded (Lk, D) arrays — Mosaic fills the out-of-bounds tail with
+    garbage, which would turn masked-score zeros into NaN via 0·NaN."""
+    if n_valid >= t.shape[0]:
+        return t
+    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    return jnp.where(row < n_valid, t, jnp.zeros_like(t))
+
+
 def _fwd3_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *,
                  scale: float, dropout_rate: float, causal: bool,
-                 n_heads: int, head_dim: int):
+                 n_heads: int, head_dim: int, lk: int):
     # packed (L, H·d) blocks with static 64-aligned lane slices per head —
     # Mosaic rejects middle-dim (L, H, d) indexing around MXU ops in bf16
     b = pl.program_id(0)
     d = head_dim
-    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk)
+    bias = (1.0 - mask_ref[0]) * NEG_INF          # (1, Lk_p)
     if dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0], b)
-    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
+    q2 = q_ref[0]
+    k2 = _zero_oob_rows(k_ref[0], lk)
+    v2 = _zero_oob_rows(v_ref[0], lk)
     probs = []
     for h in range(n_heads):
         p = _probs(q2[:, h * d:(h + 1) * d], k2[:, h * d:(h + 1) * d],
@@ -284,13 +296,16 @@ def _fwd3_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *,
 
 def _bwd3_kernel(seed_ref, p_ref, q_ref, k_ref, v_ref, do_ref,
                  dq_ref, dk_ref, dv_ref, *, scale: float,
-                 dropout_rate: float, n_heads: int, head_dim: int):
+                 dropout_rate: float, n_heads: int, head_dim: int,
+                 lk: int):
     b = pl.program_id(0)
     d = head_dim
     if dropout_rate > 0.0:
         # same seed + same draw ORDER as the forward kernel
         pltpu.prng_seed(seed_ref[0], b)
-    q2, k2, v2, do2 = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    q2, do2 = q_ref[0], do_ref[0]
+    k2 = _zero_oob_rows(k_ref[0], lk)
+    v2 = _zero_oob_rows(v_ref[0], lk)
     p3 = p_ref[0]
     for h in range(n_heads):
         sl = slice(h * d, (h + 1) * d)
@@ -340,28 +355,33 @@ def _fused_attention3(q, k, v, mask, seed_arr, dropout_rate, interpret,
 
 def _fused_attention3_fwd(q, k, v, mask, seed_arr, dropout_rate, interpret,
                           causal, n_heads):
-    # q, k, v: (B, L, H·d) packed
+    # q, k, v: (B, L, H·d) packed.  k/v may be UNPADDED in the seq dim:
+    # blocks are Lk_p = round_up(Lk, 64) and Mosaic masks the tail (OOB
+    # reads are zeroed in-kernel, OOB writes dropped) — this removes the
+    # two 50 MB HBM pads per layer the padded path paid.  mask arrives
+    # already padded to Lk_p (cheap) so padded columns carry bias -inf.
     B, Lq, D = q.shape
     Lk = k.shape[1]
+    Lk_p = mask.shape[-1]
     H = n_heads
     d = D // H
     scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(_fwd3_kernel, scale=scale,
                                dropout_rate=dropout_rate, causal=causal,
-                               n_heads=H, head_dim=d)
+                               n_heads=H, head_dim=d, lk=Lk)
     out, probs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[_packed_spec(Lq, D), _packed_spec(Lk, D),
-                      _packed_spec(Lk, D), _mask_spec(Lk)],
-            out_specs=[_packed_spec(Lq, D), _probs_spec(H, Lq, Lk)],
+            in_specs=[_packed_spec(Lq, D), _packed_spec(Lk_p, D),
+                      _packed_spec(Lk_p, D), _mask_spec(Lk_p)],
+            out_specs=[_packed_spec(Lq, D), _probs_spec(H, Lq, Lk_p)],
         ),
         out_shape=[jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, Lq, Lk), q.dtype)],
+                   jax.ShapeDtypeStruct((B, H, Lq, Lk_p), q.dtype)],
         interpret=interpret,
-    )(seed_arr, q, k, v, mask.reshape(B, 1, Lk))
+    )(seed_arr, q, k, v, mask.reshape(B, 1, Lk_p))
     return out, (probs, q, k, v, seed_arr)
 
 
@@ -370,22 +390,27 @@ def _fused_attention3_bwd(dropout_rate, interpret, causal, n_heads, res,
     probs, q, k, v, seed_arr = res
     B, Lq, D = q.shape
     Lk = k.shape[1]
+    Lk_p = probs.shape[-1]
     H = n_heads
     d = D // H
     scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(_bwd3_kernel, scale=scale,
                                dropout_rate=dropout_rate, n_heads=H,
-                               head_dim=d)
+                               head_dim=d, lk=Lk)
+    # dk/dv declared at the UNPADDED Lk: the kernel's (Lk_p, D) block
+    # writes of rows ≥ Lk are out-of-bounds and dropped by Mosaic (those
+    # rows are exactly 0 anyway: probs cols ≥ Lk are 0), so no unpad
+    # slice materializes in HBM.
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[_probs_spec(H, Lq, Lk), _packed_spec(Lq, D),
-                      _packed_spec(Lk, D), _packed_spec(Lk, D),
+            in_specs=[_probs_spec(H, Lq, Lk_p), _packed_spec(Lq, D),
+                      _packed_spec(Lk_p, D), _packed_spec(Lk_p, D),
                       _packed_spec(Lq, D)],
-            out_specs=[_packed_spec(Lq, D), _packed_spec(Lk, D),
-                       _packed_spec(Lk, D)],
+            out_specs=[_packed_spec(Lq, D), _packed_spec(Lk_p, D),
+                       _packed_spec(Lk_p, D)],
         ),
         out_shape=[jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
                    jax.ShapeDtypeStruct((B, Lk, D), k.dtype),
@@ -433,8 +458,13 @@ def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qp, kp, vp = q, k, v
     # queries only need sublane (8) granularity; keys are the score
-    # matrix's lane dim and pad to 64 (full-dim blocks keep 64 legal) —
-    # at HERO's Lq=56 this skips 14% of score/output work vs padding both
+    # matrix's lane dim, rounded to 64-lane blocks (full-dim blocks keep
+    # 64 legal) — at HERO's Lq=56 this skips 14% of score/output work vs
+    # padding both.  Non-causal k/v stay UNPADDED: the kernel reads
+    # (Lk_p, D) blocks over the (Lk, D) arrays and zeroes the OOB tail
+    # in VMEM, saving two 50 MB HBM pads per layer (and the matching
+    # dk/dv unpad slices in the backward) — only the tiny f32 mask is
+    # padded, so padded score columns carry bias -inf.
     Lq_p = _round_up(max(Lq, 8), 8)
     Lk_p = _round_up(max(Lk, 8), 64)
     if causal:
@@ -442,10 +472,12 @@ def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # unequal padding would shift it and leak future keys
         Lq_p = Lk_p
     pad_q, pad_k = Lq_p - Lq, Lk_p - Lk
-    if pad_q or pad_k:
+    if pad_q:
         qp = jnp.pad(qp, ((0, 0), (0, pad_q), (0, 0)))
+    if causal and pad_k:
         kp = jnp.pad(kp, ((0, 0), (0, pad_k), (0, 0)))
         vp = jnp.pad(vp, ((0, 0), (0, pad_k), (0, 0)))
+    if pad_k:
         kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_k)))
 
     if dropout_rate > 0.0 and dropout_rng is not None:
