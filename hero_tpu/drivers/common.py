@@ -212,6 +212,25 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     accum = max(getattr(opts, "gradient_accumulation_steps", 1), 1)
     rng = _jax.random.PRNGKey(opts.seed + 1)
     global_step = int(_jax.device_get(state.global_step))
+
+    # Preemption hook (beyond reference, which only resumes from files a
+    # periodic save happened to leave): on SIGTERM — what preemptible TPU
+    # VMs receive — finish the in-flight step, write restore.npz + a
+    # final model checkpoint, and exit the loop cleanly so schedule-exact
+    # resume picks up at the exact step.
+    import signal as _signal
+    import threading as _threading
+    preempted = _threading.Event()
+    prev_handler = None
+    if _threading.current_thread() is _threading.main_thread():
+        def _on_sigterm(signum, frame):
+            LOGGER.warning("SIGTERM received: checkpointing and exiting "
+                           "after the current step")
+            preempted.set()
+        try:
+            prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+        except (ValueError, OSError):
+            prev_handler = None
     profile_at = (getattr(opts, "profile_step", -1)
                   if getattr(opts, "output_dir", None) else -1)
     t0, n_ex = _time.time(), 0
@@ -304,11 +323,29 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
                 last_saved = global_step
         if restorer is not None:
             restorer.step(state, opts.save_steps, global_step=global_step)
+        if preempted.is_set():
+            if restorer is not None:
+                restorer.save(state, global_step=global_step)
+                restorer.flush()
+            if saver is not None and is_primary():
+                saver.save(jax.device_get(state.params), global_step)
+                saver.flush()
+            if prev_handler is not None:
+                _signal.signal(_signal.SIGTERM, prev_handler)
+            LOGGER.warning("preempted at step %d: restore.npz written, "
+                           "resume will continue from here", global_step)
+            return state
         if global_step >= opts.num_train_steps:
             break
     if saver is not None and is_primary() and last_saved != global_step:
         saver.save(jax.device_get(state.params), global_step)
+    if saver is not None:
+        saver.flush()       # join the async writer before declaring done
+    if restorer is not None:
+        restorer.flush()
     if validate_fn is not None and last_validated != global_step:
         validate_fn(state, global_step)
+    if prev_handler is not None:
+        _signal.signal(_signal.SIGTERM, prev_handler)
     LOGGER.info("training done at step %d", global_step)
     return state

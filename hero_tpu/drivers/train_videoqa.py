@@ -17,7 +17,8 @@ from hero_tpu.evaluation.downstream import validate_videoqa
 from hero_tpu.models import videoqa as videoqa_lib
 from hero_tpu.parallel.mesh import divisor_mesh
 from hero_tpu.training.optim import AdamWConfig
-from hero_tpu.training.save import (ModelSaver, TrainingRestorer,
+from hero_tpu.training.save import (AsyncCheckpointWriter,
+                                    ModelSaver, TrainingRestorer,
                                     save_training_meta)
 from hero_tpu.training.step import (TrainSpec, TrainState,
                                     make_sharded_train_step, shard_state)
@@ -76,13 +77,16 @@ def main(opts):
     step_fn = make_sharded_train_step(loss_fn, spec, mesh,
                                       accum_steps=accum)
     state = shard_state(TrainState.create(params), mesh)
+    ckpt_writer = AsyncCheckpointWriter()   # file I/O off the train loop
     restorer = TrainingRestorer(opts.output_dir,
                                 {"num_train_steps": opts.num_train_steps,
-                                 "learning_rate": opts.learning_rate})
+                                 "learning_rate": opts.learning_rate},
+                                writer=ckpt_writer)
     if restorer.can_restore():
         state = shard_state(restorer.restore(state), mesh)
     saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
-                       vocab_padded=ckpt_info.get("vocab_padded"))
+                       vocab_padded=ckpt_info.get("vocab_padded"),
+                       writer=ckpt_writer)
 
     def batches():
         it = dataset_iterator(

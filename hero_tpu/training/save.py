@@ -12,19 +12,98 @@ Arrays are stored as a flat ``{"a/b/c": array}`` npz — dependency-light,
 fast, and trivially diffable against the torch→JAX converter output.
 ``save_training_meta`` reproduces the provenance artifacts (hps.json,
 model_config.json, git info; reference :21-73).
+
+Beyond the reference: checkpoint FILE I/O is asynchronous and atomic.
+The device→host fetch stays on the caller (main) thread — background
+threads must never touch the device through the tunneled runtime
+(CLAUDE.md) — but the multi-hundred-MB ``np.savez`` moves to a single
+writer thread so training never blocks on disk, every write goes
+tmp-then-rename so a crash mid-write cannot truncate ``restore.npz``,
+and :meth:`TrainingRestorer.restore` falls back to the backup when the
+primary file is unreadable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
-from typing import Any, Dict, Optional
+import threading
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import numpy as np
 
 from hero_tpu.utils.logger import LOGGER
+
+
+def _atomic_savez(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write ``flat`` to ``path`` via tmp-file + rename (crash-safe)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """One background writer thread for checkpoint file I/O.
+
+    ``submit(job)`` enqueues a no-arg callable; at most one job is
+    pending (a second submit blocks until the previous write finished —
+    natural backpressure, and writes stay ordered).  Exceptions from a
+    job are re-raised on the next ``submit``/``flush`` so a failing disk
+    crashes training loudly instead of silently dropping checkpoints.
+    Jobs receive only HOST data; the caller must have fetched device
+    arrays already.
+    """
+
+    def __init__(self):
+        self._q: "queue.Queue[Optional[Callable[[], None]]]" = \
+            queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="ckpt-writer")
+        self._started = False
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                job()
+            except BaseException as e:   # noqa: BLE001 — re-raised on main
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("checkpoint write failed") from err
+
+    def submit(self, job: Callable[[], None]) -> None:
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        self._q.put(job)      # blocks while a previous write is pending
+        self._check()
+
+    def flush(self) -> None:
+        """Wait for all pending writes; re-raise any writer error."""
+        if self._started:
+            self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.flush()
+        if self._started:
+            self._q.put(None)
+            self._thread.join()
+            self._started = False
 
 
 def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -77,22 +156,31 @@ class ModelSaver:
 
     def __init__(self, output_dir: str, prefix: str = "model_step",
                  suffix: str = "npz",
-                 vocab_padded: Optional[bool] = None):
+                 vocab_padded: Optional[bool] = None,
+                 writer: Optional[AsyncCheckpointWriter] = None):
         self.output_dir = output_dir
         self.prefix = prefix
         self.suffix = suffix
         self.vocab_padded = vocab_padded
+        self.writer = writer
         os.makedirs(output_dir, exist_ok=True)
 
     def save(self, params, step: int) -> str:
         path = os.path.join(self.output_dir,
                             f"{self.prefix}_{step}.{self.suffix}")
-        host = jax.tree.map(np.asarray, params)
-        flat = flatten_tree(host)
+        host = jax.tree.map(np.asarray, params)   # device fetch: caller
+        flat = flatten_tree(host)                 # thread (tunnel-safe)
         if self.vocab_padded is not None:
             flat["__vocab_padded__"] = np.asarray(self.vocab_padded)
-        np.savez(path, **flat)
+        if self.writer is not None:
+            self.writer.submit(lambda: _atomic_savez(path, flat))
+        else:
+            _atomic_savez(path, flat)
         return path
+
+    def flush(self) -> None:
+        if self.writer is not None:
+            self.writer.flush()
 
 
 def save_training_meta(output_dir: str, hps: Dict[str, Any],
@@ -129,10 +217,12 @@ def save_training_meta(output_dir: str, hps: Dict[str, Any],
 class TrainingRestorer:
     """Preemption-safe resume (reference utils/save.py:136-181)."""
 
-    def __init__(self, output_dir: str, hps: Dict[str, Any]):
+    def __init__(self, output_dir: str, hps: Dict[str, Any],
+                 writer: Optional[AsyncCheckpointWriter] = None):
         self.save_path = os.path.join(output_dir, "restore.npz")
         self.backup_path = os.path.join(output_dir, "restore_backup.npz")
         self.hps_path = os.path.join(output_dir, "restore_hps.json")
+        self.writer = writer
         os.makedirs(output_dir, exist_ok=True)
         if os.path.exists(self.hps_path):
             with open(self.hps_path) as f:
@@ -161,28 +251,56 @@ class TrainingRestorer:
             self.save(train_state, global_step=step)
 
     def save(self, train_state, global_step: Optional[int] = None) -> None:
-        if os.path.exists(self.save_path):
-            os.replace(self.save_path, self.backup_path)
-        flat = flatten_tree(jax.tree.map(np.asarray, {
-            "params": train_state.params,
+        flat = flatten_tree(jax.tree.map(np.asarray, {   # device fetch:
+            "params": train_state.params,                # caller thread
             "mu": train_state.opt.mu,
             "nu": train_state.opt.nu,
         }))
         flat["__step__"] = np.asarray(
             int(train_state.global_step) if global_step is None
             else global_step)
-        np.savez(self.save_path, **flat)
+
+        def job():
+            # backup dance + atomic write together in the (single) writer
+            # so ordering holds and a crash at any point leaves at least
+            # one complete file: the tmp-rename means save_path is never
+            # truncated, and the previous save survives as the backup.
+            if os.path.exists(self.save_path):
+                os.replace(self.save_path, self.backup_path)
+            _atomic_savez(self.save_path, flat)
+
+        if self.writer is not None:
+            self.writer.submit(job)
+        else:
+            job()
+
+    def flush(self) -> None:
+        if self.writer is not None:
+            self.writer.flush()
 
     def restore(self, train_state):
-        """Load into a template TrainState; returns the restored state."""
+        """Load into a template TrainState; returns the restored state.
+        Falls back to the backup when the primary file is unreadable
+        (e.g. a pre-atomic-write checkpoint truncated by a crash)."""
         from hero_tpu.training.optim import AdamWState
         from hero_tpu.training.step import TrainState
-        path = (self.save_path if os.path.exists(self.save_path)
-                else self.backup_path)
-        with np.load(path) as z:
-            step = int(z["__step__"])
-            tree = unflatten_tree(
-                {k: z[k] for k in z.files if k != "__step__"})
+        candidates = [p for p in (self.save_path, self.backup_path)
+                      if os.path.exists(p)]
+        step = tree = path = None
+        for path in candidates:
+            try:
+                with np.load(path) as z:
+                    step = int(z["__step__"])
+                    tree = unflatten_tree(
+                        {k: z[k] for k in z.files if k != "__step__"})
+                break
+            except Exception as e:   # corrupt/truncated → try backup
+                LOGGER.warning("unreadable checkpoint %s (%r); falling "
+                               "back", path, e)
+                step = tree = None
+        if tree is None:
+            raise RuntimeError(
+                f"no readable restore checkpoint among {candidates}")
         LOGGER.info("restored training state at step %d from %s", step,
                     path)
         self.global_step = step

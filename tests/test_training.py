@@ -461,3 +461,105 @@ def test_poisoned_batch_iter_crashes_run_training(tmp_path):
                            num_train_steps=50)
     with pytest.raises(RuntimeError, match="prefetch worker failed"):
         dcommon.run_training(opts, mesh, step, state, poisoned())
+
+
+def test_async_checkpoint_writer_orders_and_raises(tmp_path):
+    """Jobs run in order on the writer thread; a failing job re-raises on
+    flush (a dying disk must crash training, not drop checkpoints)."""
+    w = save_lib.AsyncCheckpointWriter()
+    order = []
+    w.submit(lambda: order.append(1))
+    w.submit(lambda: order.append(2))
+    w.flush()
+    assert order == [1, 2]
+    w.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        w.flush()
+    w.close()
+
+
+def test_model_saver_async(tmp_path):
+    params = {"a": {"b": jnp.ones((3, 2))}}
+    w = save_lib.AsyncCheckpointWriter()
+    saver = save_lib.ModelSaver(str(tmp_path), writer=w)
+    path = saver.save(params, 5)
+    saver.flush()
+    loaded = save_lib.load_params(path)
+    np.testing.assert_array_equal(loaded["a"]["b"], np.ones((3, 2)))
+    assert not os.path.exists(path + ".tmp")
+    w.close()
+
+
+def test_restore_falls_back_to_backup_on_corrupt(tmp_path):
+    """A truncated restore.npz (crash mid-write before atomic renames, or
+    torn disk) must fall back to restore_backup.npz, not crash resume."""
+    cfg = tiny_hero_config()
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(3), cfg)
+    state = TrainState.create(params)
+    restorer = save_lib.TrainingRestorer(str(tmp_path), {"lr": 1e-4})
+    restorer.save(state, global_step=3)        # -> save_path
+    restorer.save(state, global_step=4)        # save->backup, new save
+    # corrupt the primary
+    with open(restorer.save_path, "wb") as f:
+        f.write(b"not a zipfile")
+    restored = restorer.restore(state)
+    assert int(restored.global_step) == 3      # from the backup
+    # both unreadable -> loud error
+    with open(restorer.backup_path, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(RuntimeError, match="no readable restore"):
+        restorer.restore(state)
+
+
+def test_sigterm_preempts_run_training_with_checkpoint(tmp_path):
+    """SIGTERM mid-run: finish the in-flight step, write restore.npz, and
+    return cleanly at a step < num_train_steps (preemptible-VM behavior;
+    beyond the reference, which only resumes from periodic saves)."""
+    import signal
+    import threading
+    from types import SimpleNamespace
+    from hero_tpu.drivers import common as dcommon
+
+    if threading.current_thread() is not threading.main_thread():
+        pytest.skip("signal handler requires main thread")
+
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.0)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.flat)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=1000)
+
+    def loss_fn(p, batch, rng):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng,
+                                       train=True)
+        return a + b + c, {}
+
+    step = make_sharded_train_step(loss_fn, spec, mesh)
+    state = shard_state(TrainState.create(params), mesh)
+    np_batch = {k: np.asarray(v)
+                for k, v in tiny_batch(cfg, B=n_dev).items()}
+
+    def batches():
+        n = 0
+        while True:
+            n += 1
+            if n == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield "vsm", np_batch
+
+    restorer = save_lib.TrainingRestorer(str(tmp_path), {"lr": 1e-3})
+    opts = SimpleNamespace(output_dir=None, seed=0,
+                           gradient_accumulation_steps=1,
+                           valid_steps=10_000, save_steps=10_000,
+                           num_train_steps=1000)
+    out = dcommon.run_training(opts, mesh, step, state, batches(),
+                               restorer=restorer)
+    assert out is not None
+    assert os.path.exists(restorer.save_path)
+    with np.load(restorer.save_path) as z:
+        saved_step = int(z["__step__"])
+    assert 0 < saved_step < 1000
+    restored = restorer.restore(state)
+    assert int(restored.global_step) == saved_step
