@@ -288,13 +288,21 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
     """
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    # logsumexp - picked ≡ -log_softmax[label], but never materializes the
-    # full (..., vocab) fp32 log-prob tensor (log_softmax writes ~1 GB at
-    # the MLM bench shape before gathering ONE element per row; the lse
-    # reduction fuses and its backward recomputes softmax in-fusion)
-    logits = logits.astype(jnp.float32)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    # logsumexp - picked ≡ -log_softmax[label], with BOTH of the usual
+    # (..., vocab) materializations avoided: log_softmax would write the
+    # fp32 log-prob tensor, and even a whole-tensor ``astype(f32)`` before
+    # logsumexp materializes a 1.2 GB fp32 copy of the logits that the
+    # fwd+bwd then stream ~5× (measured ~9 ms of the MLM step's HBM
+    # traffic).  Keeping the logits in the MODEL dtype and converting
+    # per-element inside the reductions fuses every pass over the vocab
+    # axis against the bf16 tensor; accumulation stays fp32, and
+    # stop_gradient on the row max keeps the backward the exact softmax.
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    z = jnp.sum(jnp.exp(logits.astype(jnp.float32)
+                        - m.astype(jnp.float32)), axis=-1)
+    lse = m[..., 0].astype(jnp.float32) + jnp.log(z)
+    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1
+                                 )[..., 0].astype(jnp.float32)
     nll = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(nll), jnp.sum(valid)
 

@@ -228,9 +228,15 @@ def lm_head(p: Params, word_emb: jax.Array, x: jax.Array,
     act = nn.ACT2FN[cfg.hidden_act]
     h = act(nn.linear(p["dense"], x, dtype))
     h = nn.apply_layer_norm(p["ln"], h)
+    # logits stay in the MODEL dtype: the reference computes this head in
+    # apex-fp16 under AMP O2 (model/layers.py:16-44), and an f32 output
+    # here materializes a 1.2 GB (N, M, vocab) fp32 tensor the MLM
+    # fwd+bwd then stream repeatedly (~4 ms/step measured at the bench
+    # shape).  masked_cross_entropy converts per-element inside its
+    # fused reductions; accumulation is fp32 either way.
     logits = jnp.dot(h.astype(dtype), word_emb.astype(dtype).T,
-                     preferred_element_type=jnp.float32)
-    return logits + p["bias"].astype(jnp.float32)
+                     preferred_element_type=dtype)
+    return logits + p["bias"].astype(dtype)
 
 
 # ---------------------------------------------------------------------------
