@@ -70,6 +70,10 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", default=4000, type=int)
     p.add_argument("--lr_sched", default="warmup_linear",
                    choices=["warmup_linear", "noam", "vqa"])
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the AdamW moments over the data mesh axis "
+                        "(ZeRO-1 optimizer-state sharding; numerically "
+                        "identical to the replicated step)")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--fp16", action="store_true",
                    help="accepted for config compatibility; hero_tpu "

@@ -212,17 +212,19 @@ def main(opts):
                      adamw=AdamWConfig(beta1=opts.betas[0],
                                        beta2=opts.betas[1],
                                        weight_decay=opts.weight_decay))
+    zero1 = bool(getattr(opts, "zero1", False))
     step_fns = {t: make_sharded_train_step(
-        make_loss(t.partition("@")[0]), spec, mesh, accum_steps=accum)
+        make_loss(t.partition("@")[0]), spec, mesh, accum_steps=accum,
+        zero1=zero1)
         for t in task_datasets}
-    state = shard_state(TrainState.create(params), mesh)
+    state = shard_state(TrainState.create(params), mesh, zero1=zero1)
     ckpt_writer = AsyncCheckpointWriter()   # file I/O off the train loop
     restorer = TrainingRestorer(opts.output_dir,
                                 {"num_train_steps": opts.num_train_steps,
                                  "learning_rate": opts.learning_rate},
                                 writer=ckpt_writer)
     if restorer.can_restore():
-        state = shard_state(restorer.restore(state), mesh)
+        state = shard_state(restorer.restore(state), mesh, zero1=zero1)
     saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
                        vocab_padded=ckpt_info.get("vocab_padded"),
                        writer=ckpt_writer)

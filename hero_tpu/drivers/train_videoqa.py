@@ -74,16 +74,17 @@ def main(opts):
                                        beta2=opts.betas[1],
                                        weight_decay=opts.weight_decay,
                                        lr_mul=getattr(opts, "lr_mul", 1.0)))
+    zero1 = bool(getattr(opts, "zero1", False))
     step_fn = make_sharded_train_step(loss_fn, spec, mesh,
-                                      accum_steps=accum)
-    state = shard_state(TrainState.create(params), mesh)
+                                      accum_steps=accum, zero1=zero1)
+    state = shard_state(TrainState.create(params), mesh, zero1=zero1)
     ckpt_writer = AsyncCheckpointWriter()   # file I/O off the train loop
     restorer = TrainingRestorer(opts.output_dir,
                                 {"num_train_steps": opts.num_train_steps,
                                  "learning_rate": opts.learning_rate},
                                 writer=ckpt_writer)
     if restorer.can_restore():
-        state = shard_state(restorer.restore(state), mesh)
+        state = shard_state(restorer.restore(state), mesh, zero1=zero1)
     saver = ModelSaver(os.path.join(opts.output_dir, "ckpt"),
                        vocab_padded=ckpt_info.get("vocab_padded"),
                        writer=ckpt_writer)

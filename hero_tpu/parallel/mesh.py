@@ -124,6 +124,34 @@ def host_allgather(obj: Any) -> list:
             for i in range(jax.process_count())]
 
 
+def zero1_opt_spec(params: Any, n_shards: int) -> Any:
+    """PartitionSpecs sharding optimizer-moment leaves over 'data' —
+    ZeRO-1 optimizer-state sharding, a capability beyond the reference's
+    replicated-optimizer DP (SURVEY §2.7: DP is its only parallelism).
+
+    Each leaf shards its largest ``data``-divisible dim; small or
+    indivisible leaves stay replicated.  With params replicated and the
+    AdamW moments sharded, GSPMD partitions the moment/update elementwise
+    work 1/N per chip and all-gathers the param delta over ICI — the
+    classic ZeRO-1 exchange — while the update math stays numerically
+    identical to the replicated step (tested).  On a v5e-8 flagship run
+    this turns 2×~280 MB of replicated f32 moments into ~70 MB/chip.
+    """
+    def spec_for(leaf) -> P:
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 0:
+            return P()
+        dims = sorted(range(nd), key=lambda d: leaf.shape[d], reverse=True)
+        for d in dims:
+            if leaf.shape[d] >= n_shards and leaf.shape[d] % n_shards == 0:
+                pspec = [None] * nd
+                pspec[d] = DATA_AXIS
+                return P(*pspec)
+        return P()
+
+    return jax.tree.map(spec_for, params)
+
+
 MODEL_AXIS = "model"
 
 

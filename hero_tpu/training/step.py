@@ -51,7 +51,8 @@ class TrainSpec:
     lr_schedule: str = "warmup_linear"   # | "noam" | "vqa"
 
 
-def _build_step(loss_fn: Callable, spec: TrainSpec, accum_steps: int):
+def _build_step(loss_fn: Callable, spec: TrainSpec, accum_steps: int,
+                constrain_state: Optional[Callable] = None):
 
     def grads_of(params, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -91,8 +92,11 @@ def _build_step(loss_fn: Callable, spec: TrainSpec, accum_steps: int):
         new_params, new_opt = optim_lib.adamw_update(
             grads, state.opt, state.params, lr, spec.adamw)
         metrics = {"loss": loss, "lr": lr, "grad_norm": gnorm, **aux}
-        return TrainState(params=new_params, opt=new_opt,
-                          global_step=new_step), metrics
+        new_state = TrainState(params=new_params, opt=new_opt,
+                               global_step=new_step)
+        if constrain_state is not None:
+            new_state = constrain_state(new_state)
+        return new_state, metrics
 
     return step
 
@@ -111,10 +115,35 @@ def make_train_step(loss_fn: Callable, spec: TrainSpec,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+def _zero1_shardings(params, mesh: Mesh):
+    """(replicated, per-moment-leaf) NamedShardings for ZeRO-1."""
+    from hero_tpu.parallel.mesh import DATA_AXIS, zero1_opt_spec
+    rep = NamedSharding(mesh, P())
+    spec = zero1_opt_spec(params, mesh.shape[DATA_AXIS])
+    moments = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                           is_leaf=lambda x: isinstance(x, P))
+    return rep, moments
+
+
+def shard_state(state: TrainState, mesh: Mesh,
+                zero1: bool = False) -> TrainState:
     """Replicate train state over the mesh; if the mesh carries a 'model'
     axis, tensor-parallel-shard the transformer weights (and their AdamW
-    moments) per :func:`hero_tpu.parallel.mesh.tp_param_spec`."""
+    moments) per :func:`hero_tpu.parallel.mesh.tp_param_spec`.  With
+    ``zero1=True`` (1-D data mesh only), shard the AdamW moments over the
+    data axis instead of replicating them — ZeRO-1 optimizer-state
+    sharding (see :func:`hero_tpu.parallel.mesh.zero1_opt_spec`)."""
+    if zero1 and mesh.devices.size > 1:
+        assert "model" not in mesh.axis_names, (
+            "zero1 composes with the 1-D data mesh, not DP×TP")
+        rep, moments = _zero1_shardings(state.params, mesh)
+        put = lambda tree: jax.tree.map(jax.device_put, tree, moments)
+        return TrainState(
+            params=jax.device_put(state.params, rep),
+            opt=type(state.opt)(
+                step=jax.device_put(state.opt.step, rep),
+                mu=put(state.opt.mu), nu=put(state.opt.nu)),
+            global_step=jax.device_put(state.global_step, rep))
     if mesh.devices.size == 1:
         # single-device mesh: the arrays already live on (or will be
         # transferred to) the only device; per-leaf sharded device_put
@@ -140,16 +169,38 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_sharded_train_step(loss_fn: Callable, spec: TrainSpec, mesh: Mesh,
-                            *, accum_steps: int = 1, donate: bool = True):
+                            *, accum_steps: int = 1, donate: bool = True,
+                            zero1: bool = False):
     """As :func:`make_train_step` but with explicit sharding constraints:
     replicated state, batch sharded on the data axis (dim 0 of every array,
-    after the accum axis if present)."""
+    after the accum axis if present).  ``zero1=True`` keeps the params
+    replicated but pins the AdamW moments to the data-axis sharding of
+    :func:`shard_state(..., zero1=True) <shard_state>` — XLA then runs the
+    optimizer update 1/N per chip and all-gathers the param delta."""
+    dn = (0,) if donate else ()
+    if zero1 and mesh.devices.size > 1:
+        assert "model" not in mesh.axis_names
+
+        def constrain(state: TrainState) -> TrainState:
+            rep, moments = _zero1_shardings(state.params, mesh)
+            csc = jax.lax.with_sharding_constraint
+            con = lambda tree: jax.tree.map(csc, tree, moments)
+            return TrainState(
+                params=jax.tree.map(lambda x: csc(x, rep), state.params),
+                opt=type(state.opt)(step=state.opt.step,
+                                    mu=con(state.opt.mu),
+                                    nu=con(state.opt.nu)),
+                global_step=state.global_step)
+
+        step = _build_step(loss_fn, spec, accum_steps,
+                           constrain_state=constrain)
+        # out shardings are pinned by the in-step constraints
+        return jax.jit(step, donate_argnums=dn)
     rep = NamedSharding(mesh, P())
     step = _build_step(loss_fn, spec, accum_steps)
     # batch sharding is taken from the inputs (see mesh.shard_task_batch:
     # per-key data/replicated placement); state keeps its input sharding
     # (replicated, or TP-sharded via shard_state on a 2-D mesh)
-    dn = (0,) if donate else ()
     if "model" in mesh.axis_names:
         return jax.jit(step, out_shardings=(None, rep), donate_argnums=dn)
     return jax.jit(step, out_shardings=(rep, rep), donate_argnums=dn)

@@ -303,6 +303,60 @@ def test_sequence_parallel_train_step():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_zero1_optimizer_sharding():
+    """ZeRO-1 on the 8-device virtual mesh: the AdamW moments really shard
+    over 'data', and 3 steps match the replicated-optimizer step exactly
+    (the GSPMD partitioning only changes WHERE the update runs)."""
+    from hero_tpu.parallel.mesh import shard_task_batch
+    cfg = tiny_hero_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=1.0, lw_neg_q=1.0, lw_st_ed=0.01)
+    params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(7), cfg)
+    spec = TrainSpec(learning_rate=1e-3, warmup_steps=1,
+                     num_train_steps=100)
+    mesh = get_mesh(8)
+    loss_fn = _vsm_loss_fn(cfg, vsm)
+    batch_np = {k: np.asarray(v) for k, v in tiny_batch(cfg, B=8).items()}
+    rep_rng = lambda i: jax.device_put(
+        jax.random.PRNGKey(i), jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+
+    step_z = make_sharded_train_step(loss_fn, spec, mesh, donate=False,
+                                     zero1=True)
+    state_z = shard_state(TrainState.create(params), mesh, zero1=True)
+    # moments really are sharded over the data axis; params replicated
+    mu_leaf = state_z.opt.mu["v_encoder"]["f_encoder"]["encoder"][
+        "layers"]["ffn"]["intermediate"]["kernel"]
+    assert "data" in str(mu_leaf.sharding.spec), mu_leaf.sharding
+    p_leaf = state_z.params["v_encoder"]["f_encoder"]["encoder"][
+        "layers"]["ffn"]["intermediate"]["kernel"]
+    assert p_leaf.sharding.is_fully_replicated
+
+    step_dp = make_sharded_train_step(loss_fn, spec, mesh, donate=False)
+    state_dp = shard_state(TrainState.create(params), mesh)
+
+    b_z = shard_task_batch(batch_np, mesh)
+    b_dp = shard_task_batch(batch_np, mesh)
+    for i in range(3):
+        state_z, m_z = step_z(state_z, b_z, rep_rng(i))
+        state_dp, m_dp = step_dp(state_dp, b_dp, rep_rng(i))
+    # output moments keep the ZeRO-1 sharding step over step
+    mu_leaf = state_z.opt.mu["v_encoder"]["f_encoder"]["encoder"][
+        "layers"]["ffn"]["intermediate"]["kernel"]
+    assert "data" in str(mu_leaf.sharding.spec), mu_leaf.sharding
+    assert float(m_z["loss"]) == pytest.approx(float(m_dp["loss"]),
+                                               rel=1e-5)
+    a = jax.device_get(state_z.params["head"]["video_query_linear"]
+                       ["kernel"])
+    b = jax.device_get(state_dp.params["head"]["video_query_linear"]
+                       ["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    nz = jax.device_get(state_z.opt.nu["head"]["video_query_linear"]
+                        ["kernel"])
+    nd = jax.device_get(state_dp.opt.nu["head"]["video_query_linear"]
+                        ["kernel"])
+    np.testing.assert_allclose(nz, nd, rtol=1e-5, atol=1e-9)
+
+
 def test_vsm_global_batch_semantics_under_sharding():
     """The VSM in-batch negative pool must be the GLOBAL batch: computing
     the loss on a batch sharded over 8 devices must equal the same batch
