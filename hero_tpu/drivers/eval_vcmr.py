@@ -42,6 +42,8 @@ def resolve_checkpoint(output_dir: str, checkpoint: str) -> str:
 
 
 def main(args):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     opts = load_serve_opts(args.output_dir)
     if args.nms_thd is not None:
         opts.nms_thd = args.nms_thd

@@ -20,6 +20,8 @@ from hero_tpu.utils.logger import LOGGER
 
 
 def main(args):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     opts = load_serve_opts(args.output_dir)
     cfg = common.model_config_from_opts(opts)
     params = violin_lib.init_hero_for_violin(jax.random.PRNGKey(0), cfg)

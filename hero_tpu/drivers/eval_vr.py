@@ -7,6 +7,8 @@ from hero_tpu.drivers import eval_vcmr
 
 
 def main(args):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     from hero_tpu.drivers.common import eval_opts_from
     orig = eval_opts_from
 

@@ -90,6 +90,8 @@ def generate_clip_captions(params, cfg, ds: TvcClipDataset, *, bos, eos,
 
 
 def main(args):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     opts = load_serve_opts(args.output_dir)
     cfg = common.model_config_from_opts(opts)
     params = tvc_lib.init_hero_for_tvc(jax.random.PRNGKey(0), cfg)

@@ -156,6 +156,8 @@ def build_task_datasets(opts, video_dbs, name_ratios=None):
 
 
 def main(opts):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     set_random_seed(opts.seed)
     from hero_tpu.utils.misc import enable_fast_rng
     enable_fast_rng()

@@ -30,6 +30,8 @@ from hero_tpu.utils.misc import set_random_seed
 
 
 def main(opts):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     set_random_seed(opts.seed)
     from hero_tpu.utils.misc import enable_fast_rng
     enable_fast_rng()

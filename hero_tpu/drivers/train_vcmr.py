@@ -79,6 +79,8 @@ def build_eval_inputs(video_db, query_db, opts):
 
 
 def main(opts):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     set_random_seed(opts.seed)
     from hero_tpu.utils.misc import enable_fast_rng
     enable_fast_rng()

@@ -9,6 +9,8 @@ from hero_tpu.drivers import train_vcmr
 
 
 def main(opts):
+    from hero_tpu.parallel.mesh import init_distributed
+    init_distributed()
     assert getattr(opts, "lw_st_ed", 0) == 0, "For VR, lw_st_ed must be 0"
     opts.lw_st_ed = 0.0
     opts.drop_svmr_prob = 1.0

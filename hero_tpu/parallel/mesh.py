@@ -31,6 +31,38 @@ DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed() -> None:
+    """Multi-process JAX init — the TPU-native analog of the reference's
+    ``hvd.init()`` at the top of every driver (``pretrain.py:157-160``).
+
+    Env-gated so drivers can call it unconditionally: single-process runs
+    (the common case — one controller sees all local chips) are a no-op.
+    To launch one process per host on a pod slice, either set
+    ``HERO_MULTIHOST=1`` (jax auto-detects the cluster from TPU-pod /
+    Slurm / OpenMPI metadata) or set the explicit coordinator triplet
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``.  Must run before any backend initializes —
+    drivers call it first thing in ``main``.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    import os
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (addr or os.environ.get("HERO_MULTIHOST")):
+        return
+    kwargs = {}
+    if addr:
+        kwargs = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+
+
 def get_mesh(n_devices: Optional[int] = None,
              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """A 1-D data-parallel mesh over all (or the first n) devices."""

@@ -48,6 +48,56 @@ def test_query_shard_partition():
     assert len(set(flat)) == len(qids)
 
 
+_INIT_WORKER = """
+import json, sys
+from hero_tpu.parallel.mesh import init_distributed, host_allgather
+init_distributed()   # reads the JAX_COORDINATOR_* env triplet
+import jax
+assert jax.process_count() == 2, jax.process_count()
+ranks = host_allgather(jax.process_index())
+assert sorted(ranks) == [0, 1], ranks
+print("INIT_OK", json.dumps(ranks))
+"""
+
+
+def test_init_distributed_env_triplet(tmp_path):
+    """The drivers' hvd.init() analog: init_distributed() picks up the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID triplet
+    and brings up a 2-process jax.distributed world (and is a no-op
+    without the env, as every single-process test implicitly proves)."""
+    base_env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""}
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    timed_out = False
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for r in range(2):
+            env = dict(base_env,
+                       JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(r))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _INIT_WORKER], cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env))
+        try:
+            logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+            timed_out = False
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+                p.communicate()
+            timed_out = True
+            continue
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, log in zip(procs, logs):
+                assert p.returncode == 0, log[-3000:]
+    if timed_out:
+        pytest.skip("2-process rendezvous timed out (machine saturated)")
+    assert all("INIT_OK" in log for log in logs), logs
+
+
 def test_two_process_eval_matches_single(tmp_path):
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""}
     env.pop("PALLAS_AXON_POOL_IPS", None)

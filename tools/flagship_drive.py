@@ -6,7 +6,9 @@ cross-modal + 3-layer temporal + 2-layer decoder, 12 heads, vocab 50272,
 4352-d frame features — reference config/hero_tvc.json / pretrain-tv) on
 a synthetic CORRELATED corpus, exercising every compute path that only
 ever ran at toy size before: pretrain (VSM+MLM mix) → train_vcmr →
-full two-phase corpus eval → TVC train + greedy AND beam decode.
+full two-phase corpus eval → TVC train + greedy AND beam decode →
+VideoQA train+eval → VIOLIN train+eval (every task head at flagship
+scale on the real chip).
 
 The corpus carries a learnable retrieval signal (per-video feature
 direction + identity tokens, data/testing.py correlated=True), so the
@@ -47,6 +49,14 @@ os.makedirs(root)
 # FLAGSHIP_SMOKE=1: tiny dims for a fast CPU wiring check of this script
 # (the real drive runs flagship dims on the real chip)
 SMOKE = bool(int(os.environ.get("FLAGSHIP_SMOKE", "0")))
+if SMOKE:
+    # the env-var route (JAX_PLATFORMS=cpu) is overridden by the axon
+    # sitecustomize; steer in-process before any backend initializes
+    import jax
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
 N_VIDEOS, MAX_FRAMES, VDIM = (8, 16, 64) if SMOKE else (32, 32, 4352)
 HID, HEADS, INTER, NL_F, NL_C = ((32, 4, 64, 2, 1) if SMOKE
                                  else (768, 12, 3072, 6, 3))
@@ -192,10 +202,59 @@ for beam, name in ((1, "greedy"), (3, "beam3")):
           f"[OK] inf_tvc {name}: {len(rows)} clips in "
           f"{timings[f'tvc_{name}_s']}s", flush=True)
 
+# ---- phase 5: VideoQA train + eval at flagship scale -------------------
+out4 = os.path.join(root, "qa")
+n_qa = 4 if SMOKE else 12
+cfg4 = write_cfg("qa.json", dict(
+    base, task="tvqa", output_dir=out4, checkpoint=ckpts[-1],
+    train_query_txt_db=corpus["qa_query"],
+    val_query_txt_db=corpus["qa_query"], num_answers=3, lw_st_ed=0.4,
+    num_train_steps=n_qa, warmup_steps=2, valid_steps=10_000,
+    save_steps=n_qa))
+from hero_tpu.drivers import eval_videoqa
+from hero_tpu.drivers import train_videoqa as dq
+
+t0 = time.time()
+dq.main(opts_lib.get_videoqa_args(["--config", cfg4]))
+a = eval_videoqa.build_argparser().parse_args(
+    ["--output_dir", out4, "--checkpoint", str(n_qa)])
+qa_log, _ = eval_videoqa.main(a)
+timings["videoqa_s"] = round(time.time() - t0, 1)
+assert qa_log["n_ex"] > 0 and 0.0 <= qa_log["acc"] <= 1.0, qa_log
+print(time.strftime("%H:%M:%S"),
+      f"[OK] flagship videoqa {n_qa} steps + eval in "
+      f"{timings['videoqa_s']}s: acc={qa_log['acc']:.3f} "
+      f"({qa_log['n_ex']} ex)", flush=True)
+
+# ---- phase 6: VIOLIN train + eval at flagship scale ---------------------
+out5 = os.path.join(root, "violin")
+n_vl = 4 if SMOKE else 12
+cfg5 = write_cfg("violin.json", dict(
+    base, task="violin", output_dir=out5, checkpoint=ckpts[-1],
+    train_query_txt_db=corpus["violin_query"],
+    val_query_txt_db=corpus["violin_query"],
+    num_train_steps=n_vl, warmup_steps=2, valid_steps=10_000,
+    save_steps=n_vl))
+from hero_tpu.drivers import eval_violin
+from hero_tpu.drivers import train_violin as dl
+
+t0 = time.time()
+dl.main(opts_lib.get_violin_args(["--config", cfg5]))
+a = eval_violin.build_argparser().parse_args(
+    ["--output_dir", out5, "--checkpoint", str(n_vl)])
+vl_log, _ = eval_violin.main(a)
+timings["violin_s"] = round(time.time() - t0, 1)
+assert vl_log["n_ex"] > 0 and 0.0 <= vl_log["acc"] <= 1.0, vl_log
+print(time.strftime("%H:%M:%S"),
+      f"[OK] flagship violin {n_vl} steps + eval in "
+      f"{timings['violin_s']}s: acc={vl_log['acc']:.3f} "
+      f"({vl_log['n_ex']} ex)", flush=True)
+
 timings["pretrain_steps_per_s"] = round(
     n_pre / timings["pretrain_s"], 3)
 summary = dict(timings, vr_r1_pct=vr_r1, vcmr_r1_pct=vcmr_r1,
-               chance_pct=round(chance, 2), n_videos=N_VIDEOS)
+               chance_pct=round(chance, 2), n_videos=N_VIDEOS,
+               videoqa_acc=qa_log["acc"], violin_acc=vl_log["acc"])
 print("FLAGSHIP DRIVE PASSED", json.dumps(summary), flush=True)
 with open(os.path.join(root, "summary.json"), "w") as f:
     json.dump(summary, f, indent=2)
