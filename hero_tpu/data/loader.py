@@ -46,8 +46,20 @@ class BatchSampler:
             idx = [full[self.rank % self.n]]
         if 0 < len(idx) < self.bs:
             # fewer items than one fixed-shape batch (e.g. a small
-            # second-bucket shard): wrap-fill to exactly one batch
-            idx = (idx * -(-self.bs // len(idx)))[:self.bs]
+            # second-bucket shard, or the wrap-assign above): top up with
+            # OTHER ranks' items from the same shuffled epoch before
+            # repeating — a batch made of copies of one example is
+            # degenerate for the in-batch-negative losses (every negative
+            # identical to the positive).  Rank-rotate the fill so ranks
+            # don't all train the identical batch; shard disjointness is
+            # deliberately traded away only on these tiny shards.
+            extra = [i for i in full if i not in set(idx)]
+            if extra:
+                rot = (self.rank * 127) % len(extra)
+                extra = extra[rot:] + extra[:rot]
+            idx = (idx + extra)[:self.bs]
+            if len(idx) < self.bs:  # dataset smaller than one batch
+                idx = (idx * -(-self.bs // len(idx)))[:self.bs]
         batches = [idx[i:i + self.bs]
                    for i in range(0, len(idx) - self.bs + 1, self.bs)]
         tail = idx[len(batches) * self.bs:]

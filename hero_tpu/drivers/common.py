@@ -234,7 +234,6 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     profile_at = (getattr(opts, "profile_step", -1)
                   if getattr(opts, "output_dir", None) else -1)
     t0, n_ex = _time.time(), 0
-    last_validated = last_saved = -1  # dedup end-of-training valid/save
 
     def assembled_steps():
         """One item per optimizer step: accumulate the micro window, stack,
@@ -278,6 +277,28 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
     step_loader = PrefetchLoader(assembled_steps(),
                                  device_put=lambda item: item)
 
+    try:
+        return _train_loop(
+            opts, mesh, step_fn, state, step_loader, accum, rng,
+            global_step, validate_fn, saver, restorer, preempted,
+            writer, meters, profile_at, log_every, t0, n_ex)
+    finally:
+        # always restore the previous SIGTERM disposition — including on
+        # exceptions, so a failed run doesn't leave a dead handler that
+        # swallows the next graceful kill
+        if prev_handler is not None:
+            _signal.signal(_signal.SIGTERM, prev_handler)
+
+
+def _train_loop(opts, mesh, step_fn, state, step_loader, accum, rng,
+                global_step, validate_fn, saver, restorer, preempted,
+                writer, meters, profile_at, log_every, t0, n_ex):
+    import time as _time
+    import jax as _jax
+    from hero_tpu.parallel.mesh import is_primary, shard_task_batch
+    from hero_tpu.utils.logger import RunningMeter
+
+    last_validated = last_saved = -1  # dedup end-of-training valid/save
     for task, (stacked, batch_ex) in step_loader:
         sharded = shard_task_batch(stacked, mesh, accum)
         fn = step_fn[task] if isinstance(step_fn, dict) else step_fn
@@ -321,17 +342,19 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
             if saver is not None and is_primary():
                 saver.save(jax.device_get(state.params), global_step)
                 last_saved = global_step
-        if restorer is not None:
+        # restore.npz writes are primary-only: in a multi-host run every
+        # process holds the identical replicated state, and concurrent
+        # writers on a shared output_dir would corrupt the tmp+rename
+        # sequence the atomic write depends on (reference rank-0 gating)
+        if restorer is not None and is_primary():
             restorer.step(state, opts.save_steps, global_step=global_step)
         if preempted.is_set():
-            if restorer is not None:
+            if restorer is not None and is_primary():
                 restorer.save(state, global_step=global_step)
                 restorer.flush()
             if saver is not None and is_primary():
                 saver.save(jax.device_get(state.params), global_step)
                 saver.flush()
-            if prev_handler is not None:
-                _signal.signal(_signal.SIGTERM, prev_handler)
             LOGGER.warning("preempted at step %d: restore.npz written, "
                            "resume will continue from here", global_step)
             return state
@@ -345,7 +368,5 @@ def run_training(opts, mesh, step_fn, state, batch_iter, *,
         restorer.flush()
     if validate_fn is not None and last_validated != global_step:
         validate_fn(state, global_step)
-    if prev_handler is not None:
-        _signal.signal(_signal.SIGTERM, prev_handler)
     LOGGER.info("training done at step %d", global_step)
     return state

@@ -200,7 +200,8 @@ def main(opts):
                     batch.pop(k, None)
                 s, n = pretrain_lib.forward_pretrain(
                     p, cfg, vsm, batch, task, rng=rng, train=True,
-                    dtype=jnp.bfloat16)
+                    dtype=jnp.bfloat16,
+                    mask_prob=getattr(opts, "mask_prob", 0.15))
                 return s / jnp.maximum(n, 1.0), {}
         return loss_fn
 
@@ -258,7 +259,8 @@ def main(opts):
                        for t, (ds, _) in task_datasets.items()}
         # state.params stay on device: the validators take them as jit
         # arguments, so no host round-trip (and no re-upload) is needed
-        log = validate_pretrain(state.params, cfg, vsm, val_loaders)
+        log = validate_pretrain(state.params, cfg, vsm, val_loaders,
+                                mask_prob=getattr(opts, "mask_prob", 0.15))
         LOGGER.info("[step %d] %s", step,
                     {k: round(v, 4) for k, v in log.items()})
 

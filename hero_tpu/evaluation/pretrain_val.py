@@ -21,7 +21,8 @@ from hero_tpu.utils.logger import LOGGER
 
 def validate_pretrain(params, cfg: HeroConfig, vsm: VsmConfig,
                       val_loaders: Dict[str, Iterable],
-                      dtype=jnp.bfloat16) -> Dict[str, float]:
+                      dtype=jnp.bfloat16,
+                      mask_prob: float = 0.15) -> Dict[str, float]:
     """Run every task validator; returns a flat {task_metric: value} log."""
     out: Dict[str, float] = {}
     for task, loader in val_loaders.items():
@@ -29,9 +30,11 @@ def validate_pretrain(params, cfg: HeroConfig, vsm: VsmConfig,
         if task.startswith("mlm"):
             log = validate_mlm(params, cfg, loader, dtype)
         elif task.startswith("mffr"):
-            log = validate_mfm(params, cfg, loader, "regression", dtype)
+            log = validate_mfm(params, cfg, loader, "regression", dtype,
+                               mask_prob=mask_prob)
         elif task.startswith("mfm"):
-            log = validate_mfm(params, cfg, loader, "nce", dtype)
+            log = validate_mfm(params, cfg, loader, "nce", dtype,
+                               mask_prob=mask_prob)
         elif task.startswith("fom"):
             log = validate_fom(params, cfg, loader, dtype)
         elif task.startswith("vsm"):
@@ -100,9 +103,11 @@ def validate_mlm(params, cfg, loader, dtype=jnp.bfloat16):
             "tok_per_s": n_word / dt}
 
 
-def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16):
+def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16,
+                 mask_prob: float = 0.15):
     fwd_loss = jax.jit(lambda p, b: backbone.forward_mfm(
-        p["v_encoder"], cfg, b, loss=loss_kind, dtype=dtype))
+        p["v_encoder"], cfg, b, loss=loss_kind, dtype=dtype,
+        mask_prob=mask_prob))
     fwd_pred = jax.jit(lambda p, b: backbone.forward_mfm(
         p["v_encoder"], cfg, b, loss="nce", compute_loss=False,
         dtype=dtype))

@@ -208,6 +208,16 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
         n_ex += len(qids)
         if any(v == "" or v is None for v in vids):
             has_gt_target = False
+        if has_gt_target:
+            missing = [v for v in vids if v not in video2idx_local]
+            if missing:
+                # fail loudly: substituting another video's span logits as
+                # SVMR ground truth would silently corrupt the metrics
+                raise KeyError(
+                    "ground-truth video(s) missing from the embedded "
+                    f"corpus: {missing[:5]} — the eval corpus must contain "
+                    "every GT video (check bucket routing / video_db "
+                    "filtering)")
         gt_vidx = np.asarray([video2idx_local.get(v, 0) for v in vids],
                              dtype=np.int32)
         out = scorer(jnp.asarray(batch["query_input_ids"]),

@@ -313,7 +313,7 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
 
 def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
                 loss: str = "nce", compute_loss: bool = True, rng=None,
-                train=False, dtype=jnp.float32):
+                train=False, dtype=jnp.float32, mask_prob: float = 0.15):
     """Masked frame-feature modeling (reference model/model.py:239-304).
 
     ``c_v_masks`` (B, F): 1 = masked frame.  Masked clip features are zeroed
@@ -386,25 +386,37 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
                       axis=-1)
         return jnp.sum(err * masked), jnp.sum(masked) * targets.shape[-1]
     return _mfm_nce_loss(pred, targets, masked,
-                         frame_valid * (1.0 - c_mask), cfg.nce_temp)
+                         frame_valid * (1.0 - c_mask), cfg.nce_temp,
+                         mask_prob=mask_prob)
 
 
-# Static cap on NCE rows/pos-columns as a fraction of N = B·F.  The
-# recipe masks ~15% of frames (Binomial mean 0.15·N, std ~0.006·N at the
-# bench shape), so 0.25·N is >15σ above the mean; in the astronomically
-# unlikely overflow, extra masked rows are excluded from loss AND
-# denominator (row_valid), never silently mis-scored.
-MFM_NCE_ROW_CAP_FRAC = 0.25
+def _mfm_nce_row_cap(mask_prob: float, N: int) -> int:
+    """Static cap on NCE rows/pos-columns, derived from the CONFIGURED
+    mask probability (``--mask_prob``, default 0.15) plus a binomial tail
+    margin of max(0.1 absolute, 6σ at this N) — so the cap tracks the
+    recipe instead of assuming it (a fixed 0.25·N silently truncated the
+    loss for mask_prob ≳ 0.25).  At the default recipe (p=0.15,
+    N=32·100) this reproduces the measured 0.25·N cap exactly.  In the
+    astronomically unlikely overflow, extra masked rows are excluded
+    from loss AND denominator (row_valid), never silently mis-scored."""
+    import math
+    margin = max(0.1, 6.0 * math.sqrt(mask_prob * (1.0 - mask_prob)
+                                      / max(N, 1)))
+    frac = min(1.0, mask_prob + margin)
+    return min(N, max((int(frac * N) + 127) // 128 * 128, 128))
 
 
-def _mfm_nce_loss(pred, targets, masked, unmasked, temp):
+def _mfm_nce_loss(pred, targets, masked, unmasked, temp,
+                  mask_prob: float = 0.15):
     """Contrastive MFM (reference mfm_nce, model/model.py:274-289).
 
     For each masked position, logits over [all masked targets ; all
     unmasked predictions]; label = own column.  The reference extracts
     masked rows dynamically (``_compute_masked_hidden``); the fixed-shape
-    equivalent here gathers the masked rows to a static cap M ≈ 0.25·N
-    via a stable argsort on the mask, so the two logit matmuls are
+    equivalent here gathers the masked rows to a static cap M (sized from
+    the configured ``mask_prob`` — see :func:`_mfm_nce_row_cap`; ≈0.25·N
+    at the default recipe) via a stable argsort on the mask, so the two
+    logit matmuls are
     (M, M) + (M, N) instead of 2·(N, N) — 6.7× fewer NCE MACs at the
     bench shape, bit-identical loss (dropped columns carried -1e4 logits
     whose exp underflows to exactly 0 in fp32).
@@ -419,7 +431,7 @@ def _mfm_nce_loss(pred, targets, masked, unmasked, temp):
     tgtf = targets.astype(pred.dtype).reshape(N, V)
     mflat = masked.reshape(N)
     uflat = unmasked.reshape(N)
-    M = min(N, max((int(MFM_NCE_ROW_CAP_FRAC * N) + 127) // 128 * 128, 128))
+    M = _mfm_nce_row_cap(mask_prob, N)
     sel = jnp.argsort(-mflat)[:M]                   # masked rows first
     row_valid = jnp.take(mflat, sel)                # (M,)
     pred_m = jnp.take(predf, sel, axis=0)           # (M, V)

@@ -386,7 +386,7 @@ def forward_vsm(params: Params, cfg: HeroConfig, vsm: VsmConfig,
 def forward_pretrain(params: Params, cfg: HeroConfig, vsm: VsmConfig,
                      batch: Dict[str, jax.Array], task: str, *,
                      compute_loss: bool = True, rng=None, train=False,
-                     dtype=jnp.float32, **vsm_kw):
+                     dtype=jnp.float32, mask_prob: float = 0.15, **vsm_kw):
     """Task dispatch (reference HeroForPretraining.forward,
     model/pretrain.py:62-126)."""
     if task == "vsm":
@@ -401,11 +401,13 @@ def forward_pretrain(params: Params, cfg: HeroConfig, vsm: VsmConfig,
         return backbone.forward_mfm(params["v_encoder"], cfg, batch,
                                     loss="regression",
                                     compute_loss=compute_loss, rng=rng,
-                                    train=train, dtype=dtype)
+                                    train=train, dtype=dtype,
+                                    mask_prob=mask_prob)
     if task == "mfm-nce":
         return backbone.forward_mfm(params["v_encoder"], cfg, batch,
                                     loss="nce", compute_loss=compute_loss,
-                                    rng=rng, train=train, dtype=dtype)
+                                    rng=rng, train=train, dtype=dtype,
+                                    mask_prob=mask_prob)
     if task == "fom":
         return backbone.forward_fom(params["v_encoder"], cfg, batch,
                                     compute_loss=compute_loss, rng=rng,

@@ -89,8 +89,15 @@ class AsyncCheckpointWriter:
         if not self._started:
             self._thread.start()
             self._started = True
-        self._q.put(job)      # blocks while a previous write is pending
+        # wait for the previous write to FINISH before enqueueing: each
+        # job closure pins a full host snapshot of the train state, so
+        # "one running + one queued" would double peak host RAM at
+        # flagship size; join-first keeps at most one snapshot inside the
+        # writer, and surfaces the previous job's error at this submit
+        # rather than an interval later
+        self._q.join()
         self._check()
+        self._q.put(job)
 
     def flush(self) -> None:
         """Wait for all pending writes; re-raise any writer error."""

@@ -355,11 +355,19 @@ def test_prefetch_loader_reraises_worker_exception():
 def test_batch_sampler_empty_shard_and_drop_last():
     from hero_tpu.data.loader import BatchSampler
 
-    # n_items < world_size: every rank still gets one wrap-filled batch
+    # n_items < world_size: every rank still gets one wrap-filled batch,
+    # topped up with distinct items (NOT one example repeated bs times —
+    # that would be degenerate for in-batch-negative losses)
     bs = BatchSampler(3, 4, seed=1, rank=5, world_size=8)
     batches = bs.epoch_batches(0)
     assert len(batches) == 1 and len(batches[0]) == 4
-    assert set(batches[0]) <= {0, 1, 2}
+    assert set(batches[0]) == {0, 1, 2}
+
+    # small shard (2 of 6 items, bs=4): filled with other ranks' items,
+    # all four batch slots distinct
+    bs = BatchSampler(6, 4, seed=1, rank=0, world_size=3)
+    batches = bs.epoch_batches(0)
+    assert len(batches) == 1 and len(set(batches[0])) == 4
 
     # drop_last=True (default): tail dropped
     bs = BatchSampler(10, 4, seed=1)

@@ -532,6 +532,25 @@ def test_async_checkpoint_writer_orders_and_raises(tmp_path):
     w.close()
 
 
+def test_async_checkpoint_writer_backpressure():
+    """submit() waits for the PREVIOUS write to finish: at most one job
+    (and its pinned host snapshot) lives inside the writer at a time."""
+    import threading
+    import time
+    w = save_lib.AsyncCheckpointWriter()
+    release = threading.Event()
+    done = []
+    w.submit(lambda: (release.wait(10), done.append(1)))
+    t = threading.Thread(target=lambda: (time.sleep(0.2), release.set()))
+    t.start()
+    w.submit(lambda: done.append(2))   # blocks until job 1 completes
+    assert done == [1]
+    w.flush()
+    t.join()
+    assert done == [1, 2]
+    w.close()
+
+
 def test_model_saver_async(tmp_path):
     params = {"a": {"b": jnp.ones((3, 2))}}
     w = save_lib.AsyncCheckpointWriter()
