@@ -53,9 +53,10 @@ class BatchSampler:
             # identical to the positive).  Rank-rotate the fill so ranks
             # don't all train the identical batch; shard disjointness is
             # deliberately traded away only on these tiny shards.
-            extra = [i for i in full if i not in set(idx)]
+            own = set(idx)
+            extra = [i for i in full if i not in own]
             if extra:
-                rot = (self.rank * 127) % len(extra)
+                rot = self.rank % len(extra)
                 extra = extra[rot:] + extra[:rot]
             idx = (idx + extra)[:self.bs]
             if len(idx) < self.bs:  # dataset smaller than one batch

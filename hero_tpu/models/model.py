@@ -278,6 +278,22 @@ def forward_mlm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
     return masked_cross_entropy(logits, labels)
 
 
+def streamed_lse(logits: jax.Array) -> jax.Array:
+    """logsumexp over the last axis WITHOUT materializing a fp32 copy of
+    the (..., vocab) logits: a whole-tensor ``astype(f32)`` (or jax's
+    log_softmax) writes a 1.2 GB fp32 tensor at the flagship vocab that
+    fwd+bwd then stream ~5× (measured ~9 ms of the MLM step's HBM
+    traffic).  Converting per-element INSIDE the reduction fuses every
+    pass over the vocab axis against the bf16 tensor; accumulation stays
+    fp32, and stop_gradient on the row max keeps the backward the exact
+    softmax.  Shared by :func:`masked_cross_entropy` and TVC's
+    label-smoothing loss."""
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    z = jnp.sum(jnp.exp(logits.astype(jnp.float32)
+                        - m.astype(jnp.float32)), axis=-1)
+    return m[..., 0].astype(jnp.float32) + jnp.log(z)
+
+
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
                          ignore_index: int = -1
                          ) -> Tuple[jax.Array, jax.Array]:
@@ -288,19 +304,9 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
     """
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    # logsumexp - picked ≡ -log_softmax[label], with BOTH of the usual
-    # (..., vocab) materializations avoided: log_softmax would write the
-    # fp32 log-prob tensor, and even a whole-tensor ``astype(f32)`` before
-    # logsumexp materializes a 1.2 GB fp32 copy of the logits that the
-    # fwd+bwd then stream ~5× (measured ~9 ms of the MLM step's HBM
-    # traffic).  Keeping the logits in the MODEL dtype and converting
-    # per-element inside the reductions fuses every pass over the vocab
-    # axis against the bf16 tensor; accumulation stays fp32, and
-    # stop_gradient on the row max keeps the backward the exact softmax.
-    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    z = jnp.sum(jnp.exp(logits.astype(jnp.float32)
-                        - m.astype(jnp.float32)), axis=-1)
-    lse = m[..., 0].astype(jnp.float32) + jnp.log(z)
+    # logsumexp - picked ≡ -log_softmax[label]; see streamed_lse for why
+    # the logits stay in the model dtype
+    lse = streamed_lse(logits)
     picked = jnp.take_along_axis(logits, safe[..., None], axis=-1
                                  )[..., 0].astype(jnp.float32)
     nll = jnp.where(valid, lse - picked, 0.0)
@@ -390,20 +396,24 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
                          mask_prob=mask_prob)
 
 
-def _mfm_nce_row_cap(mask_prob: float, N: int) -> int:
+def _mfm_nce_row_cap(mask_prob: float, N: int, n_clips: int = 0) -> int:
     """Static cap on NCE rows/pos-columns, derived from the CONFIGURED
     mask probability (``--mask_prob``, default 0.15) plus a binomial tail
-    margin of max(0.1 absolute, 6σ at this N) — so the cap tracks the
-    recipe instead of assuming it (a fixed 0.25·N silently truncated the
-    loss for mask_prob ≳ 0.25).  At the default recipe (p=0.15,
-    N=32·100) this reproduces the measured 0.25·N cap exactly.  In the
-    astronomically unlikely overflow, extra masked rows are excluded
-    from loss AND denominator (row_valid), never silently mis-scored."""
+    margin of max(0.1 absolute, 6σ at this N), plus one forced row per
+    clip — ``MfmDataset`` guarantees ≥1 masked frame per clip
+    (pretrain_tasks.py), which for short clips dominates the binomial
+    mean — so the cap tracks the recipe instead of assuming it (a fixed
+    0.25·N silently truncated the loss for mask_prob ≳ 0.25, and a pure
+    binomial model truncated short-clip datasets).  At the default
+    recipe (p=0.15, B=32, F=100) this reproduces the measured 0.25·N →
+    896 cap exactly.  In the astronomically unlikely overflow, extra
+    masked rows are excluded from loss AND denominator (row_valid),
+    never silently mis-scored."""
     import math
     margin = max(0.1, 6.0 * math.sqrt(mask_prob * (1.0 - mask_prob)
                                       / max(N, 1)))
-    frac = min(1.0, mask_prob + margin)
-    return min(N, max((int(frac * N) + 127) // 128 * 128, 128))
+    rows = min(N, int(min(1.0, mask_prob + margin) * N) + n_clips)
+    return min(N, max((rows + 127) // 128 * 128, 128))
 
 
 def _mfm_nce_loss(pred, targets, masked, unmasked, temp,
@@ -431,7 +441,7 @@ def _mfm_nce_loss(pred, targets, masked, unmasked, temp,
     tgtf = targets.astype(pred.dtype).reshape(N, V)
     mflat = masked.reshape(N)
     uflat = unmasked.reshape(N)
-    M = _mfm_nce_row_cap(mask_prob, N)
+    M = _mfm_nce_row_cap(mask_prob, N, n_clips=B)
     sel = jnp.argsort(-mflat)[:M]                   # masked rows first
     row_valid = jnp.take(mflat, sel)                # (M,)
     pred_m = jnp.take(predf, sel, axis=0)           # (M, V)

@@ -97,16 +97,11 @@ def label_smoothing_loss(logits: jax.Array, targets: jax.Array,
     conf = 1.0 - label_smoothing
     # sum_v q_v (log q_v - logp_v); q has eps everywhere, conf at target.
     # logp_v = logits_v - lse, so tgt_logp and sum_logp reduce without
-    # materializing the full (..., V) fp32 log-prob tensor — and the
-    # logits stay in the MODEL dtype with the f32 convert INSIDE each
-    # reduction (a whole-tensor astype feeding several consumers
-    # materializes the fp32 copy; cf. masked_cross_entropy in
-    # models/model.py, measured ~9 ms of HBM traffic in the MLM case).
-    # stop_gradient on the row max keeps the backward the exact softmax.
-    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    z = jnp.sum(jnp.exp(logits.astype(jnp.float32)
-                        - m.astype(jnp.float32)), axis=-1)
-    lse = m[..., 0].astype(jnp.float32) + jnp.log(z)
+    # materializing the full (..., V) fp32 log-prob tensor — the logits
+    # stay in the MODEL dtype with the f32 convert inside each reduction
+    # (see models/model.py streamed_lse).
+    from hero_tpu.models.model import streamed_lse
+    lse = streamed_lse(logits)
     tgt_logp = jnp.take_along_axis(logits, safe[..., None],
                                    axis=-1)[..., 0].astype(jnp.float32) \
         - lse

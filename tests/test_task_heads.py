@@ -171,5 +171,9 @@ def test_mfm_nce_cap_tracks_mask_prob():
     assert int(n) == n_masked
     np.testing.assert_allclose(float(s), exact_sum, rtol=1e-4)
     # default recipe cap unchanged vs the old fixed 0.25*N formula:
-    # p=0.15, N=3200 -> 0.25*N=800 -> 128-aligned 896 (bench perf intact)
-    assert _mfm_nce_row_cap(0.15, 3200) == 896
+    # p=0.15, B=32, F=100 -> 0.25*N+32=832 -> 128-aligned 896
+    assert _mfm_nce_row_cap(0.15, 3200, n_clips=32) == 896
+    # short clips: MfmDataset forces >=1 masked frame per clip, so the
+    # cap must cover n_clips even when mask_prob*N is tiny
+    # (F=4, B=256, p=0.02 -> >=256 forced rows; binomial-only cap was 128)
+    assert _mfm_nce_row_cap(0.02, 1024, n_clips=256) >= 256
