@@ -73,11 +73,13 @@ def main(args):
         ".npz", "").replace(".pt", "")
     out_path = os.path.join(args.output_dir,
                             f"results_{tag}_{args.split}_all.json")
-    with open(out_path, "w") as f:
-        json.dump(submission, f)
-    LOGGER.info("wrote %s", out_path)
-    if metrics:
-        print(json.dumps(metrics, indent=2, default=float))
+    from hero_tpu.parallel.mesh import is_primary
+    if is_primary():    # submission is globally merged; one writer
+        with open(out_path, "w") as f:
+            json.dump(submission, f)
+        LOGGER.info("wrote %s", out_path)
+        if metrics:
+            print(json.dumps(metrics, indent=2, default=float))
     return metrics, submission
 
 

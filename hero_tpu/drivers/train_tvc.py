@@ -109,7 +109,9 @@ def main(opts):
         from hero_tpu.parallel.mesh import is_primary
         if not is_primary():
             return  # caption generation has no collectives; write is rank-0
-        host_params = jax.device_get(state.params)
+        # params stay ON DEVICE (the decode jits take them as arguments) —
+        # a device_get would round-trip the full model per validation
+        host_params = state.params
         if cap_db.vid2clips:
             # per-clip GT validation (reference TvcValDataset → CIDEr,
             # train_tvc.py validate): every clip decoded exactly once
@@ -186,13 +188,21 @@ def generate_captions(params, cfg, dataset, opts, n_batches: int = 4):
     eos = dataset.caption_db.eos
     out = []
     bs = min(opts.val_batch_size, len(dataset))
+    # one jitted program with params as an ARGUMENT (closing host params
+    # into the eager scan bakes flagship-size weight constants into the
+    # program — CLAUDE.md jit-arguments rule; cf. inf_tvc)
+    decode = jax.jit(lambda p, b: tvc_lib.greedy_decode(
+        p, cfg, b, max_step=getattr(opts, "max_gen_step", 30),
+        bos=bos, eos=eos, dtype=jnp.bfloat16))
+    params = jax.device_put(params)
     for s in range(0, min(n_batches * bs, len(dataset) - bs + 1), bs):
         batch = build_tvc_batch(dataset, list(range(s, s + bs)))
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not k.startswith("__")}
-        ids = np.asarray(tvc_lib.greedy_decode(
-            params, cfg, jb, max_step=getattr(opts, "max_gen_step", 30),
-            bos=bos, eos=eos, dtype=jnp.bfloat16))
+        ids = np.asarray(decode(params, jb))
+        # build_tvc_batch emits caps_per_video caption rows per video row
+        caps_per_video = max(
+            1, len(batch["__cap_ids__"]) // len(batch["__vids__"]))
         for ci, cap_id in enumerate(batch["__cap_ids__"]):
             toks = []
             for t in ids[ci].tolist():
@@ -201,7 +211,7 @@ def generate_captions(params, cfg, dataset, opts, n_batches: int = 4):
                 toks.append(int(t))
             out.append({"clip_id": cap_id, "descs": [{"desc_token_ids":
                                                       toks}],
-                        "vid_name": batch["__vids__"][ci // 2]})
+                        "vid_name": batch["__vids__"][ci // caps_per_video]})
     return out
 
 

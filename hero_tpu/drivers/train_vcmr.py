@@ -9,18 +9,16 @@ mesh; inline full-corpus VCMR validation every ``valid_steps``.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hero_tpu.config import opts as opts_lib
 from hero_tpu.data.downstream_tasks import (VcmrDataset,
                                             VcmrFullEvalDataset,
                                             build_batch)
-from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
+from hero_tpu.data.loader import dataset_iterator
 from hero_tpu.data.store import QueryTokStore
 
 # swapped to MsrvttQueryTokStore by drivers/train_vr.py (reference train_vr
@@ -30,8 +28,7 @@ from hero_tpu.data.video import stack_items
 from hero_tpu.drivers import common
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
 from hero_tpu.models import pretrain as pretrain_lib
-from hero_tpu.parallel.mesh import (divisor_mesh, is_primary,
-                                    shard_task_batch)
+from hero_tpu.parallel.mesh import divisor_mesh, is_primary
 from hero_tpu.training.optim import AdamWConfig
 from hero_tpu.training.save import (AsyncCheckpointWriter,
                                     ModelSaver, TrainingRestorer,
@@ -164,64 +161,18 @@ def main(opts):
                      if not k.startswith("__")}
             yield "tvr", batch
 
-    rng = jax.random.PRNGKey(opts.seed + 1)
-    global_step = int(jax.device_get(state.global_step))
-    t0, n_ex = time.time(), 0
+    def validate(state, step):
+        # every process enters validation (host_allgather inside merges
+        # per-process query shards); writes are rank-0-gated inside
+        run_validation(state, cfg, vsm, video_db, opts, step)
 
-    def assembled():
-        """Stack the accum window + curriculum in the prefetch thread; the
-        sharded device_put below also runs there, hiding H2D behind the
-        running step."""
-        micro = []
-        step_ord = global_step
-        for _, batch in batches():
-            micro.append(batch)
-            if len(micro) < accum:
-                continue
-            cur = curriculum.at(step_ord)
-            if accum > 1:
-                stacked = {k: np.stack([m[k] for m in micro])
-                           for k in micro[0]}
-                stacked.update({
-                    k: np.broadcast_to(np.asarray(v), (accum,) + np.shape(v))
-                    for k, v in cur.items()})
-            else:
-                stacked = dict(micro[0])
-                stacked.update(cur)
-            micro = []
-            yield "tvr", stacked
-            step_ord += 1
-
-    # assembly in the prefetch thread; device_put on the main loop (async
-    # dispatch overlaps the in-flight step; background-thread transfers
-    # deadlock the tunneled runtime — see drivers/common.run_training)
-    loader = PrefetchLoader(assembled(), device_put=lambda b: b)
-    for _, stacked in loader:
-        sharded = shard_task_batch(stacked, mesh, accum)
-        state, metrics = step_fn(state, sharded,
-                                 jax.random.fold_in(rng, global_step))
-        global_step += 1
-        n_ex += opts.train_batch_size * accum
-        if global_step % 100 == 0:
-            loss = float(jax.device_get(metrics["loss"]))
-            dt = time.time() - t0
-            LOGGER.info("step %d: loss=%.4f  %.1f ex/s", global_step,
-                        loss, n_ex / dt)
-            t0, n_ex = time.time(), 0
-        if global_step % opts.valid_steps == 0:
-            # every process enters validation (host_allgather inside merges
-            # per-process query shards); writes are rank-0-gated inside
-            run_validation(state, cfg, vsm, video_db, opts, global_step)
-            if is_primary():
-                saver.save(jax.device_get(state.params), global_step)
-        restorer.step(state, opts.save_steps, global_step=global_step)
-        if global_step >= opts.num_train_steps:
-            break
-    if is_primary():
-        saver.save(jax.device_get(state.params), global_step)
-    ckpt_writer.flush()     # join pending async writes before returning
-    run_validation(state, cfg, vsm, video_db, opts, global_step)
-    LOGGER.info("training done at step %d", global_step)
+    # the shared loop brings the SIGTERM preemption hook, primary-gated
+    # restore.npz writes, and the end-of-run validate/save dedup (the old
+    # hand-rolled loop re-validated + re-saved when num_train_steps was a
+    # multiple of valid_steps — two full-corpus evals back to back)
+    common.run_training(opts, mesh, step_fn, state, batches(),
+                        extras_fn=curriculum.at, validate_fn=validate,
+                        saver=saver, restorer=restorer)
 
 
 def run_validation(state, cfg, vsm, video_db, opts, step):
@@ -231,8 +182,11 @@ def run_validation(state, cfg, vsm, video_db, opts, step):
                             max_txt_len=opts.max_txt_len)
     (vb, qb, video_ids, v2i_global, qdata) = build_eval_inputs(
         video_db, val_qdb, opts)
+    # params stay ON DEVICE (validate_full_vcmr's device_put is then a
+    # no-op) — a device_get here costs a full D2H+H2D model round-trip
+    # per validation (~minutes at flagship size through the tunnel)
     val_log, submission, metrics = validate_full_vcmr(
-        jax.device_get(state.params), cfg, vsm, common.eval_opts_from(opts),
+        state.params, cfg, vsm, common.eval_opts_from(opts),
         vb, qb, video_ids, v2i_global, qdata)
     if not is_primary():
         return  # collectives above ran on every process; writes are rank-0

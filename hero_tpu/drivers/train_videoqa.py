@@ -113,15 +113,19 @@ def main(opts):
                                 qa_len=getattr(opts, "bucket_query_len",
                                                40))
         def val_batches():
-            bs = opts.val_batch_size
-            for s in range(0, len(val_ds) - bs + 1, bs):
-                b = build_batch(val_ds, list(range(s, s + bs)),
+            bs = min(opts.val_batch_size, len(val_ds))
+            # tail batch kept (shorter, like eval_videoqa) — dropping it
+            # silently skipped validation whenever len(val_ds) < bs
+            for s in range(0, len(val_ds), bs):
+                b = build_batch(val_ds,
+                                list(range(s, min(s + bs, len(val_ds)))),
                                 flatten_rows=True)
                 b["qids"] = b.pop("__qid__")
                 b["targets_host"] = b["targets"]
                 yield {k: v for k, v in b.items()
                        if not k.startswith("__")}
-        log, _, _ = validate_videoqa(jax.device_get(state.params), cfg,
+        # params stay on device: the validator jits take them as args
+        log, _, _ = validate_videoqa(state.params, cfg,
                                      val_batches(), num_answers=A)
         LOGGER.info("[step %d] videoQA val: %s", step, log)
 

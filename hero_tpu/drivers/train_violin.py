@@ -116,9 +116,12 @@ def main(opts):
                                                 40))
 
         def val_batches():
-            bs = opts.val_batch_size
-            for s in range(0, len(val_ds) - bs + 1, bs):
-                b = build_batch(val_ds, list(range(s, s + bs)),
+            bs = min(opts.val_batch_size, len(val_ds))
+            # tail batch kept (shorter, like eval_violin) — dropping it
+            # silently skipped validation whenever len(val_ds) < bs
+            for s in range(0, len(val_ds), bs):
+                b = build_batch(val_ds,
+                                list(range(s, min(s + bs, len(val_ds)))),
                                 flatten_rows=True)
                 qids = [q for pair in b.pop("__qids__") for q in pair]
                 b = {k: v for k, v in b.items() if not k.startswith("__")}
@@ -127,7 +130,8 @@ def main(opts):
                 b["targets"] = b["targets_host"]
                 yield b
 
-        log, _ = validate_violin(jax.device_get(state.params), cfg,
+        # params stay on device: the validator jits take them as args
+        log, _ = validate_violin(state.params, cfg,
                                  val_batches())
         LOGGER.info("[step %d] violin val: %s", step, log)
 

@@ -1,8 +1,11 @@
 """Porter stemmer (Porter 1980) — dependency-free implementation.
 
-Used by the pure-python METEOR in :mod:`caption_metrics` as the stem
-module (the METEOR 1.5 jar uses the Snowball English stemmer, an
-extension of this algorithm; differences affect a small tail of words).
+NOT on the METEOR scoring path: :mod:`caption_metrics` stems with
+:func:`hero_tpu.evaluation.snowball.snowball_stem` (METEOR-1.5-en uses
+the Snowball English stemmer, an extension of this algorithm).  Kept as
+the classical reference implementation for the Snowball differential
+tests and as a fallback stemmer for experiments; unit-tested in
+tests/test_caption_metrics.py.
 """
 
 from __future__ import annotations

@@ -127,12 +127,17 @@ def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16,
             s, n = fwd_loss(params, jb)
             loss_sum += float(s)
             n_feat += int(n)
-            # NCE "accuracy": masked prediction closest to own target
+            # NCE "accuracy": masked prediction closest to own target.
+            # Candidate pool restricted to VALID frames: zero pad rows
+            # past each clip's true length score exactly 0 and would win
+            # whenever all real similarities are negative, deflating acc.
             mask = np.asarray(batch["c_v_masks"]) > 0
+            valid = np.asarray(batch["c_attn_masks"]).reshape(-1) > 0
             tgt = np.asarray(batch["c_v_feats"])
             p = pred[mask]
             t = tgt.reshape(-1, tgt.shape[-1])
             scores = p @ t.T
+            scores[:, ~valid] = -np.inf
             own = np.flatnonzero(mask.reshape(-1))
             n_correct += int((scores.argmax(1) == own).sum())
     dt = max(time.time() - t0, 1e-6)

@@ -98,6 +98,15 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
 
     ``n_real_videos`` caps top-k below any sharding pad rows (see
     embed_video_corpus)."""
+    if vsm.lw_neg_ctx == 0 and vsm.lw_neg_q == 0:
+        # mirror the reference's gating (model/vcmr.py:37-56 computes
+        # video-level scores only when a ranking weight is set) but fail
+        # with a diagnosable error instead of a NoneType crash inside jit
+        raise ValueError(
+            "VCMR corpus eval needs video-level ranking scores, but "
+            "lw_neg_ctx == lw_neg_q == 0 disables the ranking head. "
+            "Check that the eval config (or the train-time hps.json the "
+            "eval driver reloads) carries the VSM loss weights.")
     n_videos = (n_real_videos if n_real_videos is not None
                 else frame_embs.shape[0])
     max_v = min(opts.max_vcmr_video, n_videos)
@@ -323,7 +332,30 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
                         continue
                     val_log[f"valid_{task_type}_nms_{opts.nms_thd}/"
                             f"{task_type}_{k}"] = v
+    # Distributed eval: each process scored only its own query shard —
+    # the RETURNED submission must carry every query (the reference
+    # all-gathers query-level results before rank 0 writes,
+    # eval_vcmr.py:125-140).  Metrics above are computed per-shard and
+    # example-weight-merged (match_number requires GT/shard alignment),
+    # so the merge happens after them.
+    submission = _merge_process_submissions(submission)
     return val_log, submission, metrics
+
+
+def _merge_process_submissions(submission):
+    """All-gather per-shard submissions so every process holds the full
+    query set (reference ``all_gather_list(results)``, eval_vcmr.py:
+    125-140); identity for single process."""
+    if jax.process_count() == 1:
+        return submission
+    from hero_tpu.parallel.mesh import host_allgather
+    subs = host_allgather(submission)
+    merged = {"video2idx": submission["video2idx"]}
+    for task in ("SVMR", "VCMR", "VR"):
+        rows = [r for s in subs for r in s.get(task, [])]
+        if rows:
+            merged[task] = rows
+    return merged
 
 
 def aggregate_distributed_metrics(metrics, n_ex: int):

@@ -71,10 +71,13 @@ def run_eval(rank: int, world: int):
                         max_before_nms=50, max_after_nms=20, nms_thd=-1.0,
                         vfeat_interval=INTERVAL,
                         max_clip_len=shape.n_frames)
-    val_log, _, metrics = validate_full_vcmr(
+    val_log, submission, metrics = validate_full_vcmr(
         params, cfg, vsm, opts, video_batches(), query_batches,
         video_ids, video2idx, query_data, dtype=jnp.float32)
-    return val_log, metrics
+    # the returned submission must be globally merged: EVERY query id
+    # present on every rank, not just this rank's shard
+    sub_qids = sorted(r["desc_id"] for r in submission["VCMR"])
+    return val_log, metrics, sub_qids
 
 
 def main():
@@ -86,10 +89,10 @@ def main():
                                num_processes=nproc, process_id=rank,
                                initialization_timeout=300)
     sys.path.insert(0, ".")
-    val_log, metrics = run_eval(rank, nproc)
+    val_log, metrics, sub_qids = run_eval(rank, nproc)
     with open(out, "w") as f:
-        json.dump({"rank": rank, "val_log": val_log, "metrics": metrics},
-                  f)
+        json.dump({"rank": rank, "val_log": val_log, "metrics": metrics,
+                   "sub_qids": sub_qids}, f)
 
 
 if __name__ == "__main__":

@@ -150,6 +150,10 @@ def test_two_process_eval_matches_single(tmp_path):
     # both ranks computed the SAME merged metrics (the collective ran)
     m0, m1 = results[0]["metrics"], results[1]["metrics"]
     assert m0 == m1 and m0
+    # the returned submission is globally merged on BOTH ranks: all 6
+    # query ids present, not just each rank's 3-query shard
+    for res in results:
+        assert res["sub_qids"] == list(range(6)), res["sub_qids"]
 
     # merged 2-process metrics == single-process metrics over all queries.
     # The baseline runs as a THIRD subprocess with the IDENTICAL env: the

@@ -103,7 +103,12 @@ from hero_tpu.drivers import eval_vcmr as de
 args = de.build_argparser().parse_args(
     ["--output_dir", out2, "--checkpoint", "6"])
 out = de.main(args)
+def _fmt(d, n=4):
+    """Round a (possibly nested) metrics dict for the summary line."""
+    o = {}
+    for k, v in list(d.items())[:n]:
+        o[k] = _fmt(v, n) if isinstance(v, dict) else round(float(v), 3)
+    return o
 print(time.strftime("%H:%M:%S"), "[OK] eval_vcmr standalone:",
-      {k: round(v, 3) for k, v in list(out[0].items())[:4]}
-      if out and out[0] else out, flush=True)
+      _fmt(out[0]) if out and out[0] else out, flush=True)
 print("FULL DRIVE PASSED", flush=True)
