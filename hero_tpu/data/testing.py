@@ -159,6 +159,15 @@ def build_synthetic_corpus(root: str, n_videos: int = 6,
             for suffix, tgt in (("_0", 0), ("_1", 1)):
                 q = f"s{i}{suffix}"
                 ids = [rng.randint(3, 99) for _ in range(6)]
+                if correlated:
+                    # entailment carries a learnable rule: a TRUE statement
+                    # opens with its own video's identity token, a FALSE
+                    # one with another video's — so the binary head must
+                    # learn "statement token matches the video's feature
+                    # direction" (the same video-identity structure the
+                    # retrieval signal uses), not memorize labels
+                    match = i if tgt == 1 else (i + 1) % len(vids)
+                    ids = [id_tok(match)] * 3 + ids[3:]
                 w.put(q, {"input_ids": ids, "target": tgt})
                 vl_id2len[q] = len(ids)
                 vl_q2v[q] = vid

@@ -511,10 +511,11 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     applies a lower-triangular mask (TVC decoder self-attention; requires
     Lq == Lk on the Pallas path so padding preserves the diagonal).
 
-    Dispatch is shape-based (measured on v5e): below ~256 keys, XLA's
-    fused unpadded path beats the VMEM-resident kernel (the 128-lane
-    padding wastes more than the saved HBM round-trip); above it, the
-    Pallas kernel wins and the gap grows with L².
+    Dispatch is shape-based (measured on v5e, see ``PALLAS_MIN_LK``):
+    below ~48 keys XLA's fused unpadded path beats the VMEM-resident
+    kernel (the 64-lane padding wastes more than the saved HBM
+    round-trip); from there up the Pallas kernel wins and the gap grows
+    with L².
     """
     B, H, Lq, d = q.shape
     Lk = k.shape[2]

@@ -231,6 +231,46 @@ def test_pretrain_multi_target(env, tmp_path_factory):
     assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
 
 
+def test_violin_learning_signal(tmp_path_factory):
+    """On the CORRELATED corpus, entailment is a learnable rule (a true
+    statement opens with its video's identity token, a false one with
+    another video's), so a few dozen driver steps must push eval accuracy
+    well above the 50% chance that label-memorization alone sits at after
+    this few epochs."""
+    root = str(tmp_path_factory.mktemp("vl_sig"))
+    corpus = build_synthetic_corpus(root, n_videos=6,
+                                    max_frames=MAX_FRAMES, vfeat_dim=64,
+                                    correlated=True, seed=5)
+    mc = os.path.join(root, "model.json")
+    with open(mc, "w") as f:
+        json.dump(MODEL_CFG, f)
+    n_steps = 60
+    cfg = dict(
+        sub_txt_db=corpus["sub"], vfeat_db=corpus["vfeat"],
+        model_config=mc, checkpoint=None, max_clip_len=MAX_FRAMES,
+        max_txt_len=12, vfeat_interval=1.5, vfeat_dim=64,
+        train_batch_size=4, val_batch_size=4,
+        gradient_accumulation_steps=1, learning_rate=2e-3,
+        valid_steps=1000, save_steps=n_steps, num_train_steps=n_steps,
+        warmup_steps=5, grad_norm=1.0, sub_ctx_len=0, seed=3,
+        bucket_n_subs=4, bucket_frames_per_sub=12, bucket_query_len=24,
+        bucket_max_masked=4,
+        output_dir=os.path.join(root, "violin_out"),
+        train_query_txt_db=corpus["violin_query"],
+        val_query_txt_db=corpus["violin_query"], task="violin")
+    path = _write_cfg(root, "violin_sig.json", cfg)
+    opts = opts_lib.get_violin_args(["--config", path])
+    from hero_tpu.drivers import train_violin as drv
+    drv.main(opts)
+
+    from hero_tpu.drivers import eval_violin
+    args = eval_violin.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", str(n_steps)])
+    log, _ = eval_violin.main(args)
+    assert log["n_ex"] == 12
+    assert log["acc"] >= 0.75, log
+
+
 def test_eval_vr_standalone(env):
     root, corpus, base = env
     out = os.path.join(root, "vr_out")
