@@ -74,6 +74,15 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
                    help="shard the AdamW moments over the data mesh axis "
                         "(ZeRO-1 optimizer-state sharding; numerically "
                         "identical to the replicated step)")
+    p.add_argument("--pp_stages", default=1, type=int,
+                   help="pipeline-parallel stages (GPipe over the stacked "
+                        "encoder layer axis, parallel/pipeline.py); 1 "
+                        "disables. Devices split into a (data, stage) "
+                        "mesh; encoder depths must be multiples of the "
+                        "stage count to pipeline")
+    p.add_argument("--pp_microbatches", default=2, type=int,
+                   help="microbatches per pipeline flush (per-data-shard "
+                        "batch must be divisible by this)")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--fp16", action="store_true",
                    help="accepted for config compatibility; hero_tpu "

@@ -21,6 +21,7 @@ from hero_tpu.data.loader import MetaLoader, PrefetchLoader, dataset_iterator
 from hero_tpu.drivers import common
 from hero_tpu.models import pretrain as pretrain_lib
 from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.parallel import pipeline
 from hero_tpu.training.optim import AdamWConfig
 from hero_tpu.training.save import (AsyncCheckpointWriter,
                                     ModelSaver, TrainingRestorer,
@@ -165,7 +166,7 @@ def main(opts):
     save_training_meta(opts.output_dir, vars(opts),
                        {"model_config": opts.model_config})
     add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
-    mesh = divisor_mesh(opts.train_batch_size)
+    mesh = pipeline.driver_mesh(opts, opts.train_batch_size)
 
     video_dbs, name_ratios = build_targets(opts)
     task_datasets = build_task_datasets(opts, video_dbs, name_ratios)

@@ -19,6 +19,7 @@ from hero_tpu.data.loader import PrefetchLoader, dataset_iterator
 from hero_tpu.drivers import common
 from hero_tpu.models import tvc as tvc_lib
 from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.parallel import pipeline
 from hero_tpu.training.optim import AdamWConfig
 from hero_tpu.training.save import (AsyncCheckpointWriter,
                                     ModelSaver, TrainingRestorer,
@@ -39,7 +40,7 @@ def main(opts):
     save_training_meta(opts.output_dir, vars(opts),
                        {"model_config": opts.model_config})
     add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
-    mesh = divisor_mesh(opts.train_batch_size)
+    mesh = pipeline.driver_mesh(opts, opts.train_batch_size)
 
     shapes = common.shapes_from_opts(opts)
     video_db = common.load_video_sub_dataset(opts, shapes)

@@ -29,6 +29,7 @@ from hero_tpu.drivers import common
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
 from hero_tpu.models import pretrain as pretrain_lib
 from hero_tpu.parallel.mesh import divisor_mesh, is_primary
+from hero_tpu.parallel import pipeline
 from hero_tpu.training.optim import AdamWConfig
 from hero_tpu.training.save import (AsyncCheckpointWriter,
                                     ModelSaver, TrainingRestorer,
@@ -85,7 +86,7 @@ def main(opts):
     save_training_meta(opts.output_dir, vars(opts),
                        {"model_config": opts.model_config})
     add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
-    mesh = divisor_mesh(opts.train_batch_size)
+    mesh = pipeline.driver_mesh(opts, opts.train_batch_size)
     LOGGER.info("devices: %s (mesh %d)", jax.devices(),
                 mesh.devices.size)
 

@@ -17,6 +17,7 @@ from hero_tpu.drivers import common
 from hero_tpu.evaluation.downstream import validate_violin
 from hero_tpu.models import violin as violin_lib
 from hero_tpu.parallel.mesh import divisor_mesh
+from hero_tpu.parallel import pipeline
 from hero_tpu.training.optim import AdamWConfig
 from hero_tpu.training.save import (AsyncCheckpointWriter,
                                     ModelSaver, TrainingRestorer,
@@ -37,7 +38,7 @@ def main(opts):
     save_training_meta(opts.output_dir, vars(opts),
                        {"model_config": opts.model_config})
     add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
-    mesh = divisor_mesh(opts.train_batch_size * 2)  # paired statements
+    mesh = pipeline.driver_mesh(opts, opts.train_batch_size * 2)  # paired statements
 
     shapes = common.shapes_from_opts(opts)
     video_db = common.load_video_sub_dataset(opts, shapes)

@@ -182,6 +182,14 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
         keys = jnp.zeros((L, 2), jnp.uint32)
         use_rng = False
 
+    from hero_tpu.parallel import pipeline as _pp
+    if _pp.active(L):
+        # GPipe over the 'stage' mesh axis (parallel/pipeline.py): the
+        # stacked layer axis is already the pipeline-stage axis
+        return _pp.pipelined_encoder(p["layers"], keys, use_rng, x, mask,
+                                     cfg, train=train, dtype=dtype,
+                                     remat=remat)
+
     def body(h, xs):
         layer_p, key = xs
         h = encoder_layer(layer_p, h, mask, cfg,

@@ -134,8 +134,9 @@ def shard_state(state: TrainState, mesh: Mesh,
     data axis instead of replicating them — ZeRO-1 optimizer-state
     sharding (see :func:`hero_tpu.parallel.mesh.zero1_opt_spec`)."""
     if zero1 and mesh.devices.size > 1:
-        assert "model" not in mesh.axis_names, (
-            "zero1 composes with the 1-D data mesh, not DP×TP")
+        assert "model" not in mesh.axis_names \
+            and "stage" not in mesh.axis_names, (
+            "zero1 composes with the 1-D data mesh, not DP×TP/DP×PP")
         rep, moments = _zero1_shardings(state.params, mesh)
         put = lambda tree: jax.tree.map(jax.device_put, tree, moments)
         return TrainState(
@@ -150,9 +151,14 @@ def shard_state(state: TrainState, mesh: Mesh,
         # costs a tunnel round-trip PER LEAF (~300 leaves ≈ minutes on
         # the tunneled runtime) for a no-op placement.
         return state
-    if "model" in mesh.axis_names:
-        from hero_tpu.parallel.mesh import tp_param_spec
-        spec = tp_param_spec(state.params)
+    if "model" in mesh.axis_names or "stage" in mesh.axis_names:
+        if "stage" in mesh.axis_names:
+            from hero_tpu.parallel.pipeline import (STAGE_AXIS,
+                                                    pp_param_spec)
+            spec = pp_param_spec(state.params, mesh.shape[STAGE_AXIS])
+        else:
+            from hero_tpu.parallel.mesh import tp_param_spec
+            spec = tp_param_spec(state.params)
         put = lambda tree: jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             tree, spec)
@@ -180,6 +186,7 @@ def make_sharded_train_step(loss_fn: Callable, spec: TrainSpec, mesh: Mesh,
     dn = (0,) if donate else ()
     if zero1 and mesh.devices.size > 1:
         assert "model" not in mesh.axis_names
+        assert "stage" not in mesh.axis_names
 
         def constrain(state: TrainState) -> TrainState:
             rep, moments = _zero1_shardings(state.params, mesh)
@@ -201,6 +208,7 @@ def make_sharded_train_step(loss_fn: Callable, spec: TrainSpec, mesh: Mesh,
     # batch sharding is taken from the inputs (see mesh.shard_task_batch:
     # per-key data/replicated placement); state keeps its input sharding
     # (replicated, or TP-sharded via shard_state on a 2-D mesh)
-    if "model" in mesh.axis_names:
+    if "model" in mesh.axis_names or "stage" in mesh.axis_names:
+        # state keeps its input (TP / pipeline-stage) shardings
         return jax.jit(step, out_shardings=(None, rep), donate_argnums=dn)
     return jax.jit(step, out_shardings=(rep, rep), donate_argnums=dn)
