@@ -183,7 +183,7 @@ def encoder(p: Params, x: jax.Array, mask: Optional[jax.Array],
         use_rng = False
 
     from hero_tpu.parallel import pipeline as _pp
-    if _pp.active(L):
+    if _pp.active(L) and _pp.compatible(x.shape[0]):
         # GPipe over the 'stage' mesh axis (parallel/pipeline.py): the
         # stacked layer axis is already the pipeline-stage axis
         return _pp.pipelined_encoder(p["layers"], keys, use_rng, x, mask,

@@ -88,6 +88,16 @@ def active(n_layers: int) -> bool:
     return s > 1 and n_layers >= s and n_layers % s == 0
 
 
+def compatible(batch: int) -> bool:
+    """True iff a ``batch``-row activation can shard over the pipeline
+    mesh's data axis.  Encoders see many batch shapes besides the train
+    batch (flattened sub rows, query pools, validation batches); shapes
+    that don't split over ``data`` take the sequential scan instead
+    (still correct — XLA gathers the stage-sharded weights)."""
+    n_data = _PIPELINE_MESH.shape[DATA_AXIS]
+    return batch >= n_data and batch % n_data == 0
+
+
 def pp_param_spec(params: Any, n_stage: int) -> Any:
     """PartitionSpecs placing stacked encoder-layer leaves (leading layer
     axis divisible by the stage count) on ``P('stage', ...)``; everything
@@ -145,17 +155,19 @@ def pipelined_encoder(layers_p: Any, keys: jax.Array, use_rng: bool,
     mesh = _PIPELINE_MESH
     assert mesh is not None
     S = int(mesh.shape[STAGE_AXIS])
-    M = _N_MICRO
     has_mask = mask is not None
     if not has_mask:  # dummy leaf so specs/args line up; never read
         mask = jnp.zeros((x.shape[0], 0), x.dtype)
 
     def stage_fn(lp, lkeys, xb, maskb):
         B = xb.shape[0]
-        if B % M:
-            raise ValueError(
-                f"pipeline microbatching needs per-data-shard batch {B} "
-                f"divisible by n_microbatches={M}")
+        # per-call-site microbatch count: the largest divisor of the
+        # local batch ≤ the requested count (encoders see many batch
+        # shapes — query pools, flattened sub rows — besides the train
+        # batch; degrade to fewer/one microbatch rather than fail)
+        M = _N_MICRO
+        while B % M:
+            M -= 1
         mbs = xb.reshape(M, B // M, *xb.shape[1:])
         mask_mbs = maskb.reshape(M, B // M, *maskb.shape[1:])
         s = jax.lax.axis_index(STAGE_AXIS)

@@ -89,6 +89,38 @@ def test_pretrain_driver(env):
     assert ckpts
 
 
+def test_pretrain_driver_pipeline_parallel(env, tmp_path_factory):
+    """--pp_stages 2 end-to-end: the 2-layer f-encoder pipelines over a
+    (data=4, stage=2) mesh through the real driver — training steps,
+    validation under the pipeline toggle, checkpointing."""
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("pp_drv"))
+    mc2 = dict(MODEL_CFG,
+               f_config=dict(MODEL_CFG["f_config"], num_hidden_layers=2))
+    mcp = os.path.join(root2, "model_pp.json")
+    with open(mcp, "w") as f:
+        json.dump(mc2, f)
+    cfg = dict(base, model_config=mcp,
+               output_dir=os.path.join(root2, "pretrain_pp_out"),
+               train_batch_size=8, val_batch_size=8,
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0.01,
+               query_per_video=2,
+               hard_negtiave_start_step=[2], hard_pool_size=[4],
+               hard_neg_weights=[10])
+    path = _write_cfg(root2, "pretrain_pp.json", cfg)
+    opts = opts_lib.get_pretrain_args(
+        ["--config", path, "--pp_stages", "2", "--pp_microbatches", "2"])
+    from hero_tpu.drivers import pretrain as drv
+    from hero_tpu.parallel import pipeline as pp
+    try:
+        drv.main(opts)
+        assert pp.n_stages() == 2  # driver really enabled the pipeline
+    finally:
+        pp.enable_pipeline(None)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+    assert os.listdir(os.path.join(cfg["output_dir"], "ckpt"))
+
+
 def test_videoqa_driver_and_eval(env):
     root, corpus, base = env
     cfg = dict(base, output_dir=os.path.join(root, "qa_out"),
