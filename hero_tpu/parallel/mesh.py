@@ -116,7 +116,11 @@ def shard_task_batch(batch: Any, mesh: Mesh, accum_steps: int = 1) -> Any:
         data = NamedSharding(mesh, P(DATA_AXIS))
         min_dims = 1
     rep = NamedSharding(mesh, P())
-    n_dev = mesh.devices.size
+    # divisibility is against the DATA axis (the axis the PartitionSpec
+    # actually uses), not the total device count: on a DP×PP/DP×TP mesh a
+    # batch divisible by n_data but not n_data×n_stage must still shard —
+    # host-replicating it multiplies H2D upload (ADVICE r3)
+    n_dev = mesh.shape[DATA_AXIS]
     batch_axis = 1 if accum_steps > 1 else 0
 
     def put(x):

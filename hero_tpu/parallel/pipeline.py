@@ -109,10 +109,16 @@ def pp_param_spec(params: Any, n_stage: int) -> Any:
     def spec_for(path, leaf) -> P:
         keys = tuple(str(getattr(k, "key", k)) for k in path)
         nd = getattr(leaf, "ndim", 0)
-        # decoder stacks are also stored under "layers" but run the
-        # sequential/KV-cached paths (models/transformer.py decoder),
-        # which never pipeline — keep them replicated
-        if ("layers" in keys and "decoder" not in keys and nd >= 1
+        # anchored to the ENCODER stacks that active() actually routes:
+        # the stacked leaves live at .../encoder/layers/... (transformer.
+        # init_encoder; bare stacks start at "layers").  Decoder stacks
+        # are also stored under "layers" but run the sequential/KV-cached
+        # paths and never pipeline; a future param group that merely
+        # contains 'layers' somewhere in its path must not silently
+        # change placement (ADVICE r3).
+        i = keys.index("layers") if "layers" in keys else -1
+        anchored = i == 0 or (i > 0 and keys[i - 1] == "encoder")
+        if (anchored and "decoder" not in keys and nd >= 1
                 and n_stage > 1 and leaf.shape[0] >= n_stage
                 and leaf.shape[0] % n_stage == 0):
             return P(STAGE_AXIS, *([None] * (nd - 1)))
@@ -214,6 +220,12 @@ def pipelined_encoder(layers_p: Any, keys: jax.Array, use_rng: bool,
         out = jax.lax.psum(out, STAGE_AXIS)  # zeros off the last stage
         return out.reshape(B, *xb.shape[1:])
 
+    # check_vma=False: VMA/replication checking is off, so gradient
+    # correctness for the data-replicated layer params rests on the
+    # conservative transpose psum — pinned against plain DP by
+    # tests/test_pipeline_parallel.py::test_pipeline_parallel_train_step
+    # (quick-core); if a JAX upgrade changes shard_map transpose
+    # semantics, that test is the guard that catches it (ADVICE r3)
     fn = jax.shard_map(
         stage_fn, mesh=mesh,
         in_specs=(P(STAGE_AXIS), P(STAGE_AXIS), P(DATA_AXIS),
