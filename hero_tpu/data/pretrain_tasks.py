@@ -9,6 +9,7 @@ same masks without a broadcast (SURVEY.md §5.8).
 
 from __future__ import annotations
 
+import math
 import random
 from typing import Dict, List, Optional, Sequence, Set
 
@@ -16,6 +17,27 @@ import numpy as np
 
 from hero_tpu.data.video import (FixedShapes, VideoFeatSubTokDataset,
                                  pad_query, stack_items)
+
+
+def mlm_row_cap(mask_prob: float, txt_len: int) -> int:
+    """Static per-row cap on MLM mask slots (``FixedShapes.max_masked``),
+    sized from the CONFIGURED mask probability plus a binomial tail margin
+    of max(0.1 absolute, 6σ at the row's maskable-token count) plus the one
+    forced mask :func:`random_word` guarantees — the same derivation as the
+    MFM cap (``models/model.py:_mfm_nce_row_cap``).
+
+    The reference keeps every masked position (``data/mlm.py:21-58``); a
+    fixed cap below the binomial tail silently skews the effective mask
+    rate low (at the old default of 12, ~10% of 60-token rows overflowed
+    at p=0.15).  At the default recipe (p=0.15, txt_len=60 → 59 maskable
+    tokens) this returns 27; P(Binom(59, 0.15) > 27) < 1e-9, so residual
+    truncation is astronomically unlikely — and when it does happen it is
+    COUNTED (``mlm_labels_dropped``), never silent.
+    """
+    n = max(txt_len - 1, 1)   # maskable tokens: the row minus its lead CLS
+    margin = max(0.1, 6.0 * math.sqrt(mask_prob * (1.0 - mask_prob) / n))
+    cap = int(min(1.0, mask_prob + margin) * n) + 1
+    return min(n, max(cap, 1))
 
 
 def random_word(tokens: List[int], vocab_range, mask_tok: int,
@@ -111,10 +133,18 @@ class MlmDataset(_TaskDataset):
             item["sub_input_ids"][row, :len(new_ids)] = new_ids
             slot = 0
             for pos, lab in enumerate(labs, start=1):
-                if lab != -1 and slot < sp.max_masked:
+                if lab == -1:
+                    continue
+                if slot < sp.max_masked:
                     mask_pos[row, slot] = pos
                     labels[row, slot] = lab
                     slot += 1
+                else:
+                    # never drop silently: with max_masked sized by
+                    # mlm_row_cap this is a <1e-9 tail event, but it is
+                    # still counted and surfaced by truncation_report()
+                    db.trunc_counts["mlm_labels_dropped"] = (
+                        db.trunc_counts.get("mlm_labels_dropped", 0) + 1)
         item["mlm_mask_pos"] = mask_pos
         item["mlm_labels"] = labels
         return item

@@ -154,6 +154,7 @@ class VideoFeatSubTokDataset:
         self.trunc_counts = {"videos_seen": 0, "subs_dropped": 0,
                              "frames_dropped": 0, "clip_frames_dropped": 0,
                              "txt_tokens_dropped": 0,
+                             "mlm_labels_dropped": 0,
                              "videos_truncated": 0}
         self._trunc_warned = False
 

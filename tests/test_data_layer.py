@@ -103,6 +103,55 @@ def test_mlm_masks_deterministic_and_valid(video_db):
     assert plain["sub_input_ids"][0, 0] == video_db.txt_db.sep
 
 
+def test_mlm_cap_sized_from_mask_prob_no_silent_drops(corpus):
+    """VERDICT r3 #3: max_masked must track the configured mask
+    probability (like the MFM cap) so no mask position is silently
+    dropped at recipe configs; overflow past the cap is COUNTED."""
+    # the cap covers the binomial tail at the recipe config
+    cap = pt.mlm_row_cap(0.15, 60)
+    assert cap >= 26            # mean 8.85, 6sigma tail at n=59
+    assert cap <= 59
+    # monotone in p; saturates at the maskable-token count
+    assert pt.mlm_row_cap(0.5, 60) > cap
+    assert pt.mlm_row_cap(1.0, 60) == 59
+
+    # auto-sized shapes: a full epoch of MLM items drops nothing
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    shapes = SHAPES.replace(max_masked=pt.mlm_row_cap(0.15,
+                                                      SHAPES.txt_len))
+    db = VideoFeatSubTokDataset(sub, vfeat, shapes, max_txt_len=20,
+                                sub_ctx_len=1)
+    ds = pt.MlmDataset(list(db.txt_db.id2len.keys()), db, mask_prob=0.15)
+    for epoch in range(4):
+        ds.set_epoch(epoch)
+        for i in range(len(ds)):
+            ds[i]
+    assert db.truncation_report()["mlm_labels_dropped"] == 0
+
+    # tail behavior: an undersized explicit cap counts its drops
+    tiny = VideoFeatSubTokDataset(sub, vfeat,
+                                  SHAPES.replace(max_masked=1),
+                                  max_txt_len=20, sub_ctx_len=1)
+    ds_t = pt.MlmDataset(list(tiny.txt_db.id2len.keys()), tiny,
+                         mask_prob=0.9)
+    for i in range(len(ds_t)):
+        ds_t[i]
+    assert tiny.truncation_report()["mlm_labels_dropped"] > 0
+
+
+def test_shapes_from_opts_auto_max_masked():
+    from types import SimpleNamespace
+    from hero_tpu.drivers.common import shapes_from_opts
+    opts = SimpleNamespace(max_txt_len=60, sub_ctx_len=0, max_clip_len=100,
+                           mask_prob=0.15)
+    sp = shapes_from_opts(opts)
+    assert sp.max_masked == pt.mlm_row_cap(0.15, sp.txt_len)
+    # explicit value still wins
+    opts.bucket_max_masked = 12
+    assert shapes_from_opts(opts).max_masked == 12
+
+
 def test_msrvtt_query_store_keying(tmp_path):
     """MsrvttQueryTokStore keys query_data by sen_id, falling back to
     retrieval_key (reference MsrvttQueryTokLmdb, data/vr.py:50-61)."""
