@@ -83,6 +83,46 @@ def test_lz4_matches_reference_lz4_if_available():
     assert lz4.block.decompress(ours, uncompressed_size=len(data)) == data
 
 
+def test_native_build_portable_and_provenance_checked(tmp_path,
+                                                      monkeypatch):
+    """VERDICT r3 #8: no -march=native; the .so is cached per
+    (source, arch) outside the tree with a provenance sidecar, and a
+    foreign/stale entry is rebuilt rather than loaded."""
+    import importlib
+    from hero_tpu.native import herostore as native
+
+    monkeypatch.setenv("HERO_NATIVE_CACHE", str(tmp_path))
+    native._reset_for_tests()
+    try:
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        assert "-march=native" not in " ".join(native._CFLAGS)
+        prov = native._provenance()
+        lib_path = native._lib_path(prov)
+        assert lib_path.startswith(str(tmp_path))
+        assert os.path.exists(lib_path)
+        assert os.path.exists(lib_path + ".json")
+        import json
+        sidecar = json.load(open(lib_path + ".json"))
+        assert sidecar["machine"] == prov["machine"]
+
+        # foreign provenance (e.g. another host's compiler wrote here):
+        # next load must rebuild, not trust the binary
+        json.dump({**sidecar, "machine": "alien64"},
+                  open(lib_path + ".json", "w"))
+        before = os.path.getmtime(lib_path)
+        native._reset_for_tests()
+        assert native.available()
+        assert json.load(open(lib_path + ".json")) == prov
+        assert os.path.getmtime(lib_path) >= before
+
+        # a different arch resolves a DIFFERENT cache entry entirely
+        other = native._lib_path({**prov, "machine": "aarch64"})
+        assert other != lib_path
+    finally:
+        native._reset_for_tests()
+
+
 def test_typed_wrappers(tmp_path):
     db = str(tmp_path / "vfeat")
     with store_lib.HeroStoreWriter(db) as w:
