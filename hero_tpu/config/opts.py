@@ -81,8 +81,11 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
                         "mesh; encoder depths must be multiples of the "
                         "stage count to pipeline")
     p.add_argument("--pp_microbatches", default=2, type=int,
-                   help="microbatches per pipeline flush (per-data-shard "
-                        "batch must be divisible by this)")
+                   help="microbatches M per pipeline flush (per-data-shard "
+                        "batch must be divisible by this). The GPipe "
+                        "schedule runs M+S-1 ticks on every stage, so "
+                        "per-stage compute overhead is (S-1)/M — at S "
+                        "stages pick M >= 2*S to keep the bubble <= 50%%")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--fp16", action="store_true",
                    help="accepted for config compatibility; hero_tpu "
@@ -93,7 +96,18 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--bucket_n_subs", default=32, type=int)
     p.add_argument("--bucket_frames_per_sub", default=16, type=int)
     p.add_argument("--bucket_query_len", default=32, type=int)
-    p.add_argument("--bucket_max_masked", default=12, type=int)
+    p.add_argument("--bucket_max_masked", default=0, type=int,
+                   help="MLM mask slots per sub row; 0 = auto-size from "
+                        "--mask_prob + binomial tail (mlm_row_cap) so no "
+                        "masked position is silently dropped")
+    p.add_argument("--corpus_chunk_videos", default=0, type=int,
+                   help="full-corpus eval: score the corpus in chunks of "
+                        "this many videos (0 = keep the whole (Nv, L, D) "
+                        "tensor resident). Exact — per-chunk top-ks merge "
+                        "bit-identically; must be a multiple of "
+                        "--vcmr_eval_video_batch_size. HBM ceiling becomes "
+                        "chunk*max_clip_len*hidden*2B instead of "
+                        "Nv*max_clip_len*hidden*2B")
     p.add_argument("--second_bucket", action="store_true",
                    help="route videos the primary bucket would truncate "
                         "to a second, larger compiled bucket (pretrain)")

@@ -147,17 +147,31 @@ class VcmrFullEvalDataset:
         return {"query_input_ids": ids, "query_attn_masks": mask,
                 "__qid__": qid, "__vid__": vid}
 
-    def batches(self, batch_size: int):
+    def batches(self, batch_size: int, pad_to_full: bool = True):
+        """``pad_to_full``: pad the ragged FINAL batch to ``batch_size``
+        with zero-masked dummy rows so the shape-specialized phase-2 jit
+        compiles exactly once (VERDICT r3 #6 — a ragged tail batch paid a
+        second multi-minute flagship compile).  The host lists ``qids``/
+        ``vids`` keep their REAL length; validate_full_vcmr slices the
+        scorer outputs to it, so results are unchanged."""
         for s in range(0, len(self), batch_size):
             items = [self[i] for i in range(s, min(s + batch_size,
                                                    len(self)))]
+            ids = np.stack([it["query_input_ids"] for it in items])
+            masks = np.stack([it["query_attn_masks"] for it in items])
+            if pad_to_full and len(items) < batch_size:
+                pad = batch_size - len(items)
+                ids = np.concatenate(
+                    [ids, np.full((pad,) + ids.shape[1:],
+                                  self.query_db.pad, ids.dtype)])
+                masks = np.concatenate(
+                    [masks, np.zeros((pad,) + masks.shape[1:],
+                                     masks.dtype)])
             yield {
                 "qids": [it["__qid__"] for it in items],
                 "vids": [it["__vid__"] for it in items],
-                "query_input_ids": np.stack(
-                    [it["query_input_ids"] for it in items]),
-                "query_attn_masks": np.stack(
-                    [it["query_attn_masks"] for it in items]),
+                "query_input_ids": ids,
+                "query_attn_masks": masks,
             }
 
 

@@ -13,6 +13,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hero_tpu.config import opts as opts_lib
 from hero_tpu.data.downstream_tasks import (VcmrDataset,
@@ -62,6 +63,15 @@ def build_eval_inputs(video_db, query_db, opts):
         bs = getattr(opts, "vcmr_eval_video_batch_size", 50)
         for s in range(0, len(video_ids), bs):
             items = [video_db.video_item(v) for v in video_ids[s:s + bs]]
+            if len(items) < bs and s > 0:
+                # pad the ragged FINAL batch to the fixed size with
+                # zero-mask dummy videos so phase 1 compiles exactly once
+                # (VERDICT r3 #6); pad rows carry c_attn_masks == 0, so
+                # their video-level scores are mask_logits'd to -1e4 and
+                # the scorer additionally force-ranks rows >= n_real_videos
+                # below every real video (vcmr_eval.make_query_scorer)
+                pad_item = {k: np.zeros_like(v) for k, v in items[0].items()}
+                items.extend([pad_item] * (bs - len(items)))
             yield stack_items(items)
 
     import jax as _jax

@@ -47,6 +47,11 @@ class VcmrEvalOpts:
     max_clip_len: int = 100
     full_eval_tasks: Tuple[str, ...] = ("VCMR", "SVMR", "VR")
     eval_with_query_type: bool = True
+    # >0: score the corpus in chunks of this many videos instead of
+    # keeping the full (Nv, L, D) tensor resident in HBM — exact (see
+    # validate_full_vcmr); the HBM ceiling becomes
+    # corpus_chunk_videos · max_clip_len · D · 2 bytes (+ model)
+    corpus_chunk_videos: int = 0
 
 
 def embed_video_corpus(params, cfg: HeroConfig,
@@ -137,6 +142,12 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
             params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
             cross=True, dtype=dtype)
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
+        if n_videos < frame_embs.shape[0]:
+            # corpus pad rows (sharding pad / fixed-batch tail pad): force
+            # strictly below every real exp(α·s) > 0 so top-k (≤ n_videos
+            # entries) can never select one
+            valid_v = jnp.arange(frame_embs.shape[0]) < n_videos
+            sharp = jnp.where(valid_v[None, :], sharp, -1.0)
         top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
         st_sel = jnp.take_along_axis(st, top_idx[..., None], axis=1)
         ed_sel = jnp.take_along_axis(ed, top_idx[..., None], axis=1)
@@ -175,6 +186,170 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     return score, max_v
 
 
+def _band_setup(opts: VcmrEvalOpts, L: int):
+    band = tvr_metrics.generate_min_max_length_mask(
+        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
+    band_pos = np.flatnonzero(band.reshape(-1)).astype(np.int32)
+    return band_pos
+
+
+def _chunked_score_all(params, cfg: HeroConfig, vsm: VsmConfig,
+                       opts: VcmrEvalOpts,
+                       video_batches, query_batches: List[Dict[str, Any]],
+                       video2idx_local: Dict[str, int], n_real_videos: int,
+                       dtype):
+    """Chunked phase 1+2 (VERDICT r3 #5): corpora exceeding HBM.
+
+    The corpus is embedded and scored ``corpus_chunk_videos`` videos at a
+    time; per-query top-k carries over EXACTLY because every per-(query,
+    video) quantity is chunk-independent — exp(α·s) sharpening is
+    elementwise and the span softmaxes are rows of the per-video (L,)
+    logits (softmax-after-selection commutes, see make_query_scorer) — so
+    the global top-``max_vcmr_video`` is a k-way merge of per-chunk
+    top-ks, and the flat top-``max_before_nms`` merges the per-video
+    top-k1 band candidates of the merged videos.  Tie-breaks replicate
+    ``jax.lax.top_k`` (first occurrence = lowest index).  Returns one
+    (st_gt, ed_gt, top_scores, top_idx, flat_scores, flat_idx) tuple per
+    query batch, bit-identical to the resident path.
+    """
+    Nc = int(opts.corpus_chunk_videos)
+    L = opts.max_clip_len
+    encode = jax.jit(lambda p, b: (
+        vcmr_lib.encode_video_corpus(p, cfg, b, dtype=dtype),
+        b["c_attn_masks"]))
+
+    band_pos = _band_setup(opts, L)
+    n_band = int(band_pos.shape[0])
+    band_st = jnp.asarray(band_pos // L)
+    band_ed = jnp.asarray(band_pos % L)
+    max_v = min(opts.max_vcmr_video, n_real_videos)
+    kc = min(max_v, Nc)                       # per-chunk video top-k
+    k1 = min(opts.max_before_nms, n_band)     # per-video band top-k
+
+    @jax.jit
+    def score_chunk(params, chunk_embs, chunk_masks, q_ids, q_masks,
+                    gt_local):
+        scores, st, ed = vcmr_lib.get_pred_from_raw_query(
+            params, cfg, vsm, chunk_embs, chunk_masks, q_ids, q_masks,
+            cross=True, dtype=dtype)
+        sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
+        top_sc, top_ix = jax.lax.top_k(sharp, kc)          # (Nq, kc)
+        st_sel = jnp.take_along_axis(st, top_ix[..., None], axis=1)
+        ed_sel = jnp.take_along_axis(ed, top_ix[..., None], axis=1)
+        st_sel = jax.nn.softmax(st_sel.astype(jnp.float32), -1)
+        ed_sel = jax.nn.softmax(ed_sel.astype(jnp.float32), -1)
+        vals = (st_sel[..., band_st] * ed_sel[..., band_ed]
+                * top_sc[..., None])                       # (Nq, kc, n_band)
+        sc1, idx1 = jax.lax.top_k(vals, k1)                # (Nq, kc, k1)
+        gt = gt_local[:, None, None]
+        st_gt = jnp.take_along_axis(st, gt, axis=1)[:, 0]
+        ed_gt = jnp.take_along_axis(ed, gt, axis=1)[:, 0]
+        st_gt = jax.nn.softmax(st_gt.astype(jnp.float32), -1)
+        ed_gt = jax.nn.softmax(ed_gt.astype(jnp.float32), -1)
+        return top_sc, top_ix, sc1, idx1, st_gt, ed_gt
+
+    # accumulate fixed-size video batches into fixed-size chunks (the last
+    # chunk zero-padded) so encode + score_chunk each compile ONCE
+    per_chunk: List[List[Any]] = [[] for _ in query_batches]
+    chunk_embs, chunk_masks, offset = [], [], 0
+    n_in_chunk = 0
+
+    def flush_chunk(offset):
+        e = jnp.concatenate(chunk_embs, 0)
+        m = jnp.concatenate(chunk_masks, 0)
+        if e.shape[0] < Nc:
+            e = jnp.pad(e, ((0, Nc - e.shape[0]), (0, 0), (0, 0)))
+            m = jnp.pad(m, ((0, Nc - m.shape[0]), (0, 0)))
+        for bi, batch in enumerate(query_batches):
+            vids = batch["vids"]
+            n_rows = batch["query_input_ids"].shape[0]
+            gt_local = np.zeros((n_rows,), np.int32)
+            for qi, v in enumerate(vids):
+                a = video2idx_local.get(v, 0)
+                if offset <= a < offset + Nc:
+                    gt_local[qi] = a - offset
+            out = score_chunk(params, e, m,
+                              jnp.asarray(batch["query_input_ids"]),
+                              jnp.asarray(batch["query_attn_masks"]),
+                              jnp.asarray(gt_local))
+            per_chunk[bi].append((offset,) + tuple(map(np.asarray, out)))
+
+    for vb in video_batches:
+        jb = {k: jnp.asarray(v) for k, v in vb.items()}
+        emb, msk = encode(params, jb)
+        chunk_embs.append(emb)
+        chunk_masks.append(msk)
+        n_in_chunk += emb.shape[0]
+        if n_in_chunk >= Nc:
+            # batches are expected to divide the chunk evenly; oversize
+            # spill would change chunk shapes (and recompile), so assert
+            assert n_in_chunk == Nc, (
+                "corpus_chunk_videos must be a multiple of the video "
+                f"batch size (chunk {n_in_chunk} vs {Nc})")
+            flush_chunk(offset)
+            offset += Nc
+            chunk_embs, chunk_masks, n_in_chunk = [], [], 0
+    if chunk_embs:
+        flush_chunk(offset)
+        offset += n_in_chunk
+
+    # host merge, per query batch
+    k = min(opts.max_before_nms, max_v * n_band)
+    results = []
+    for bi, batch in enumerate(query_batches):
+        n_rows = batch["query_input_ids"].shape[0]
+        vids = batch["vids"]
+        tsc = np.zeros((n_rows, max_v), np.float32)
+        tidx = np.zeros((n_rows, max_v), np.int64)
+        fsc = np.zeros((n_rows, k), np.float32)
+        fidx = np.zeros((n_rows, k), np.int64)
+        st_gt = np.zeros((n_rows, L), np.float32)
+        ed_gt = np.zeros((n_rows, L), np.float32)
+        chunks = per_chunk[bi]
+        for qi in range(n_rows):
+            # merge video-level top-k: (-score, abs index) replicates
+            # lax.top_k's lowest-index tie-break over the full corpus
+            cand_sc, cand_abs, cand_loc = [], [], []
+            for ci, (off, c_tsc, c_tix, _, _, _, _) in enumerate(chunks):
+                abs_ix = c_tix[qi].astype(np.int64) + off
+                keep = abs_ix < n_real_videos     # drop chunk pad rows
+                cand_sc.append(c_tsc[qi][keep])
+                cand_abs.append(abs_ix[keep])
+                cand_loc.append(np.stack(
+                    [np.full(int(keep.sum()), ci),
+                     np.flatnonzero(keep)], 1))
+            sc = np.concatenate(cand_sc)
+            ab = np.concatenate(cand_abs)
+            loc = np.concatenate(cand_loc, 0)
+            order = np.lexsort((ab, -sc))[:max_v]
+            tsc[qi] = sc[order]
+            tidx[qi] = ab[order]
+            # flat merge: per-video top-k1 band rows of the SELECTED
+            # videos, in merged-rank order (resident layout)
+            rows_sc = np.empty((max_v, k1), np.float32)
+            rows_band = np.empty((max_v, k1), np.int64)
+            for rank, oi in enumerate(order):
+                ci, local_rank = loc[oi]
+                _, _, _, c_sc1, c_idx1, _, _ = chunks[ci]
+                rows_sc[rank] = c_sc1[qi, local_rank]
+                rows_band[rank] = c_idx1[qi, local_rank]
+            flat_sc = rows_sc.reshape(-1)
+            # tie order = position in the (max_v · k1) flat layout,
+            # exactly lax.top_k over the resident (max_v·k1) vector
+            top = np.lexsort((np.arange(flat_sc.size), -flat_sc))[:k]
+            fsc[qi] = flat_sc[top]
+            ranks = top // k1
+            fidx[qi] = ranks * (L * L) + band_pos[rows_band.reshape(-1)[top]]
+            # SVMR gt rows come from the chunk owning the gt video
+            gt_abs = video2idx_local.get(vids[qi], 0) if qi < len(vids) \
+                else 0
+            ci = min(gt_abs // Nc, len(chunks) - 1)
+            st_gt[qi] = chunks[ci][5][qi]
+            ed_gt[qi] = chunks[ci][6][qi]
+        results.append((st_gt, ed_gt, tsc, tidx, fsc, fidx))
+    return results
+
+
 def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
                        opts: VcmrEvalOpts,
                        video_batches: Iterable[Dict[str, np.ndarray]],
@@ -192,13 +367,31 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     # place host params once: they enter every phase as jit ARGUMENTS, so
     # leaving them as numpy would re-upload the full model per batch
     params = jax.device_put(params)
-    frame_embs, frame_masks = embed_video_corpus(
-        params, cfg, video_batches, opts.max_clip_len, dtype, mesh=mesh)
-    scorer, max_v = make_query_scorer(params, cfg, vsm, opts, frame_embs,
-                                      frame_masks, dtype,
-                                      n_real_videos=len(video_ids))
     video2idx_local = {v: i for i, v in enumerate(video_ids)}
-    L = int(frame_embs.shape[1])
+    chunked = (opts.corpus_chunk_videos
+               and opts.corpus_chunk_videos < len(video_ids))
+    if chunked:
+        # corpora exceeding HBM: never materialize (Nv, L, D); score
+        # chunk-by-chunk with an exact top-k merge (single-chip path)
+        assert mesh is None or mesh.devices.size == 1, (
+            "corpus_chunk_videos is the single-chip big-corpus path; "
+            "use mesh-sharded embed_video_corpus for multi-chip")
+        query_batches = list(query_batches)
+        chunk_outs = _chunked_score_all(
+            params, cfg, vsm, opts, video_batches, query_batches,
+            video2idx_local, len(video_ids), dtype)
+        max_v = min(opts.max_vcmr_video, len(video_ids))
+        L = opts.max_clip_len
+        scorer = None
+    else:
+        frame_embs, frame_masks = embed_video_corpus(
+            params, cfg, video_batches, opts.max_clip_len, dtype,
+            mesh=mesh)
+        scorer, max_v = make_query_scorer(params, cfg, vsm, opts,
+                                          frame_embs, frame_masks, dtype,
+                                          n_real_videos=len(video_ids))
+        L = int(frame_embs.shape[1])
+        chunk_outs = None
 
     total_qids, total_vids = [], []
     svmr_st, svmr_ed = [], []
@@ -207,7 +400,7 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     has_gt_target = True
     n_ex = 0
     partial_query_data = []
-    for batch in query_batches:
+    for bi, batch in enumerate(query_batches):
         qids, vids = batch["qids"], batch["vids"]
         total_qids.extend(qids)
         total_vids.extend(vids)
@@ -227,12 +420,22 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
                     f"corpus: {missing[:5]} — the eval corpus must contain "
                     "every GT video (check bucket routing / video_db "
                     "filtering)")
-        gt_vidx = np.asarray([video2idx_local.get(v, 0) for v in vids],
-                             dtype=np.int32)
-        out = scorer(jnp.asarray(batch["query_input_ids"]),
-                     jnp.asarray(batch["query_attn_masks"]),
-                     jnp.asarray(gt_vidx))
-        st_gt, ed_gt, tsc, tidx, fsc, fidx = map(np.asarray, out)
+        # query arrays may be padded past the real query count (tail
+        # batches padded to the fixed batch size so phase 2 compiles
+        # exactly once — data/downstream_tasks.py batches(pad_to_full));
+        # pad rows are zero-masked, scored as garbage, and sliced off here
+        n_real = len(qids)
+        if chunk_outs is not None:
+            out = chunk_outs[bi]
+        else:
+            n_rows = batch["query_input_ids"].shape[0]
+            gt_vidx = np.zeros((n_rows,), dtype=np.int32)
+            gt_vidx[:n_real] = [video2idx_local.get(v, 0) for v in vids]
+            out = scorer(jnp.asarray(batch["query_input_ids"]),
+                         jnp.asarray(batch["query_attn_masks"]),
+                         jnp.asarray(gt_vidx))
+        st_gt, ed_gt, tsc, tidx, fsc, fidx = (
+            np.asarray(x)[:n_real] for x in out)
         if "SVMR" in opts.full_eval_tasks and has_gt_target:
             svmr_st.append(st_gt)
             svmr_ed.append(ed_gt)

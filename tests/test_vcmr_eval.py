@@ -162,6 +162,146 @@ def test_sharded_corpus_eval_matches_unsharded(setup):
                 assert pa[3] == pytest.approx(pb[3], rel=1e-5)
 
 
+def test_padded_tail_batches_match_unpadded(setup):
+    """VERDICT r3 #6 (one-compile eval): query tail batches padded to the
+    fixed batch size with zero-masked rows — and video tail batches padded
+    with zero-mask dummy videos — produce the IDENTICAL submission and
+    metrics as the ragged run; only the compile count changes."""
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    n_videos = 6
+    video_ids = [f"v{i}" for i in range(n_videos)]
+    video2idx = {v: i for i, v in enumerate(video_ids)}
+    r = np.random.RandomState(9)
+    n_q = 5
+    gt = [video_ids[r.randint(n_videos)] for _ in range(n_q)]
+    qd = {q: {"desc_id": q, "desc": "", "vid_name": gt[q],
+              "ts": [0.0, 4.5], "type": "v"} for q in range(n_q)}
+    q_ids = r.randint(3, 128, (n_q, 6)).astype(np.int32)
+    q_masks = np.ones((n_q, 6), np.float32)
+    opts = VcmrEvalOpts(max_vcmr_video=6, min_pred_l=1, max_pred_l=8,
+                        max_before_nms=20, max_after_nms=10, nms_thd=-1,
+                        vfeat_interval=1.5, max_clip_len=shape.n_frames)
+
+    # ragged: batches of 3 + 2
+    qb_ragged = [
+        {"qids": [0, 1, 2], "vids": gt[:3],
+         "query_input_ids": q_ids[:3], "query_attn_masks": q_masks[:3]},
+        {"qids": [3, 4], "vids": gt[3:],
+         "query_input_ids": q_ids[3:], "query_attn_masks": q_masks[3:]},
+    ]
+    # padded: the tail batch padded to 3 rows with a zero-masked dummy
+    pad_ids = np.concatenate([q_ids[3:], np.full((1, 6), 1, np.int32)])
+    pad_masks = np.concatenate([q_masks[3:], np.zeros((1, 6), np.float32)])
+    qb_padded = [
+        dict(qb_ragged[0]),
+        {"qids": [3, 4], "vids": gt[3:],
+         "query_input_ids": pad_ids, "query_attn_masks": pad_masks},
+    ]
+
+    def vb_ragged():
+        return [synthetic.base_batch(shape, seed=10),
+                synthetic.base_batch(shape, seed=11)]
+
+    def vb_padded():
+        a = synthetic.base_batch(shape, seed=10)
+        b = synthetic.base_batch(shape, seed=11)
+        # drop the 6th video from the corpus list?  no — keep the same 6
+        # real videos and APPEND a fully-padded dummy batch entry instead:
+        # pad the second batch from 3 to 4 rows with a zero-mask video
+        b = {k: np.concatenate([v, np.zeros_like(v[:1])]) for k, v in
+             b.items()}
+        return [a, b]
+
+    val_ref, sub_ref, m_ref = validate_full_vcmr(
+        params, cfg, vsm, opts, vb_ragged(), qb_ragged,
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    val_pad, sub_pad, m_pad = validate_full_vcmr(
+        params, cfg, vsm, opts, vb_padded(), qb_padded,
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    assert m_ref == m_pad
+    assert val_ref == val_pad
+    for task in ("VCMR", "SVMR", "VR"):
+        assert len(sub_ref[task]) == len(sub_pad[task]) == n_q
+        for a, b in zip(sub_ref[task], sub_pad[task]):
+            assert a["desc_id"] == b["desc_id"]
+            for pa, pb in zip(a["predictions"], b["predictions"]):
+                assert pa[:3] == pb[:3]
+                assert pa[3] == pytest.approx(pb[3], rel=1e-6)
+
+
+def test_chunked_corpus_eval_bit_equal(setup):
+    """VERDICT r3 #5: a corpus 4x over the chunk budget, scored chunk by
+    chunk with the exact k-way top-k merge, matches the resident path
+    BIT-FOR-BIT (submissions and metrics)."""
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    n_videos = 12                     # 4 chunks of 3
+    video_ids = [f"v{i}" for i in range(n_videos)]
+    video2idx = {v: i for i, v in enumerate(video_ids)}
+    r = np.random.RandomState(21)
+    n_q = 5
+    gt = [video_ids[r.randint(n_videos)] for _ in range(n_q)]
+    qd = {q: {"desc_id": q, "desc": "", "vid_name": gt[q],
+              "ts": [0.0, 4.5], "type": "v"} for q in range(n_q)}
+    qb = [{"qids": [0, 1, 2], "vids": gt[:3],
+           "query_input_ids": r.randint(3, 128, (3, 6)).astype(np.int32),
+           "query_attn_masks": np.ones((3, 6), np.float32)},
+          {"qids": [3, 4], "vids": gt[3:],
+           "query_input_ids": r.randint(3, 128, (2, 6)).astype(np.int32),
+           "query_attn_masks": np.ones((2, 6), np.float32)}]
+
+    def batches():
+        return [synthetic.base_batch(shape, seed=30 + i) for i in range(4)]
+
+    base = VcmrEvalOpts(max_vcmr_video=7, min_pred_l=1, max_pred_l=8,
+                        max_before_nms=25, max_after_nms=10, nms_thd=0.5,
+                        vfeat_interval=1.5, max_clip_len=shape.n_frames)
+    val_r, sub_r, m_r = validate_full_vcmr(
+        params, cfg, vsm, base, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    chunked = dataclasses.replace(base, corpus_chunk_videos=3)
+    val_c, sub_c, m_c = validate_full_vcmr(
+        params, cfg, vsm, chunked, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    assert m_r == m_c
+    assert val_r == val_c
+    assert sub_r == sub_c          # bit-for-bit incl. float scores
+
+
+def test_full_eval_dataset_pads_tail_batch(tmp_path):
+    """VcmrFullEvalDataset.batches(pad_to_full=True) emits fixed-shape
+    arrays with real-length qids/vids."""
+    from hero_tpu.data.downstream_tasks import VcmrFullEvalDataset
+    from hero_tpu.data.store import HeroStoreWriter, QueryTokStore
+    from hero_tpu.data.video import FixedShapes
+    import json, os
+    db = str(tmp_path / "query_db")
+    with HeroStoreWriter(db) as w:
+        for q in range(5):
+            w.put(f"q{q}", {"input_ids": [3, 4, 5]})
+    json.dump({f"q{q}": 3 for q in range(5)},
+              open(os.path.join(db, "id2len.json"), "w"))
+    json.dump({f"q{q}": "vidA" for q in range(5)},
+              open(os.path.join(db, "query2video.json"), "w"))
+    json.dump({"CLS": 0, "SEP": 2, "PAD": 1, "MASK": 50264,
+               "v_range": [3, 128]},
+              open(os.path.join(db, "meta.json"), "w"))
+    qdb = QueryTokStore(db)
+    ds = VcmrFullEvalDataset(list(qdb.id2len.keys()), qdb,
+                             FixedShapes(query_len=8))
+    batches = list(ds.batches(3, pad_to_full=True))
+    assert len(batches) == 2
+    assert batches[1]["query_input_ids"].shape == (3, 8)
+    assert len(batches[1]["qids"]) == 2
+    # pad row: pad token everywhere, zero mask
+    assert (batches[1]["query_input_ids"][2] == qdb.pad).all()
+    assert (batches[1]["query_attn_masks"][2] == 0).all()
+    # ragged mode unchanged
+    ragged = list(ds.batches(3, pad_to_full=False))
+    assert ragged[1]["query_input_ids"].shape == (2, 8)
+
+
 def test_scorer_matches_dense_reference(setup):
     """Band-gather scorer with softmax-after-top-k == the reference-style
     dense path (full softmax over all videos, dense (L, L) span cube,
