@@ -29,6 +29,17 @@ publishes no numbers, BASELINE.md): model train FLOPs per example from the
 actual tensor shapes, assuming the reference's apex-fp16 stack sustains 30%
 of V100's 125 TFLOP/s peak.  The north-star target is ≥2× that per-chip
 rate.
+
+``vs_baseline_dynpad`` is the *honest* variant of that ratio (VERDICT r3
+#1): the V100's per-example FLOPs come from the reference's actual
+dynamic in-batch-max padding priced on a TV-distribution corpus
+(``hero_tpu/data/occupancy.py`` — the reference pads every f-row to the
+batch max ``max_vl + max_sl``, data/data.py:406-512) instead of from our
+fixed bucket.  Measured: the bucket does ~0.97× the refpad FLOPs (the
+in-batch max over ~540 subs is tail-dominated), so the honest ratio is
+slightly HIGHER than the bucket-model one; the bucket's remaining
+dishonesty is ~10% of subs truncated at n_subs=16 (counted:
+``subs_dropped_frac``), which production routes via --second_bucket.
 """
 
 import json
@@ -121,11 +132,14 @@ def main():
 
     flops_ex = analytic_train_flops_per_example(shape, cfg)
     v100_ex_per_sec = 0.30 * 125e12 / flops_ex
+    from hero_tpu.data.occupancy import refpad_flops_per_example
+    v100_dynpad = 0.30 * 125e12 / refpad_flops_per_example()
     print(json.dumps({
         "metric": "pretrain_vsm_examples_per_sec_per_chip",
         "value": round(ex_per_sec, 2),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_sec / v100_ex_per_sec, 3),
+        "vs_baseline_dynpad": round(ex_per_sec / v100_dynpad, 3),
     }))
 
 

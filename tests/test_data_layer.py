@@ -544,3 +544,29 @@ def test_video_fits_bucket_checks_clip_frames(corpus):
     rep = db.truncation_report()
     assert rep["clip_frames_dropped"] > 0
     assert rep["videos_truncated"] == len(heavy)
+
+
+def test_occupancy_audit_models_consistent():
+    """VERDICT r3 #1: the occupancy audit is deterministic and its three
+    FLOP models are ordered (ideal <= both padded models); the bucket
+    tracks the reference's dynamic padding within a sane band on the TV
+    distribution."""
+    from hero_tpu.data import occupancy as oc
+    a = oc.audit(n_batches=4, batch=16, seed=3)
+    b = oc.audit(n_batches=4, batch=16, seed=3)
+    assert a == b
+    assert (a["flops_per_ex_ideal"] <= a["flops_per_ex_bucket"]
+            and a["flops_per_ex_ideal"] <= a["flops_per_ex_refpad"])
+    assert 0.7 < a["bucket_over_refpad"] < 1.3
+    # a tighter bucket must cost fewer bucket-FLOPs, refpad unchanged
+    tight = oc.audit(n_batches=4, batch=16, seed=3, n_subs=12, txt_len=30)
+    assert tight["flops_per_ex_bucket"] < a["flops_per_ex_bucket"]
+    assert tight["flops_per_ex_refpad"] == a["flops_per_ex_refpad"]
+    # sampled shapes respect the recipe caps
+    r = np.random.RandomState(0)
+    for _ in range(50):
+        v = oc.sample_tv_video(r)
+        assert 1 <= v.n_frames <= 100
+        assert all(2 <= l <= 61 for l in v.sub_txt_lens)
+        assert all(n >= 1 for n in v.sub_n_frames)
+        assert len(v.sub_txt_lens) == len(v.sub_n_frames) >= 5
