@@ -513,15 +513,25 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
                     continue
                 val_log[f"valid_{task_type}/{task_type}_{k}"] = v
         if opts.nms_thd != -1:
-            after = dict(video2idx=eval_res["video2idx"])
-            if "SVMR" in eval_res:
+            # Reference quirk, reproduced deliberately: get_submission_top_n
+            # aliases the entry dicts (tvr_eval_utils.py:178-190 truncates
+            # e["predictions"] in place), so the reference's NMS pass
+            # (eval_vcmr.py:458-475) both (a) operates on the already
+            # top-max_after_nms-truncated lists and (b) mutates the
+            # submission it has ALREADY built at eval_vcmr.py:420 — the
+            # returned submission carries the NMS lists.  Our top_n copy is
+            # non-aliasing, so we feed NMS the submission's lists directly;
+            # post_processing_* mutates them in place, which matches both
+            # observable behaviors (pinned by test_reference_parity_eval).
+            after = dict(video2idx=submission["video2idx"])
+            if "SVMR" in submission:
                 after["SVMR"] = tvr_metrics.post_processing_svmr_nms(
-                    eval_res["SVMR"], nms_thd=opts.nms_thd,
+                    submission["SVMR"], nms_thd=opts.nms_thd,
                     max_before_nms=opts.max_before_nms,
                     max_after_nms=opts.max_after_nms)
-            if "VCMR" in eval_res:
+            if "VCMR" in submission:
                 after["VCMR"] = tvr_metrics.post_processing_vcmr_nms(
-                    eval_res["VCMR"], nms_thd=opts.nms_thd,
+                    submission["VCMR"], nms_thd=opts.nms_thd,
                     max_before_nms=opts.max_before_nms,
                     max_after_nms=opts.max_after_nms)
             metrics_nms = tvr_metrics.eval_retrieval(
