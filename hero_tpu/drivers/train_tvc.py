@@ -195,7 +195,7 @@ def generate_captions(params, cfg, dataset, opts, n_batches: int = 4):
     decode = jax.jit(lambda p, b: tvc_lib.greedy_decode(
         p, cfg, b, max_step=getattr(opts, "max_gen_step", 30),
         bos=bos, eos=eos, dtype=jnp.bfloat16))
-    params = jax.device_put(params)
+    params = params_to_device(params)
     for s in range(0, min(n_batches * bs, len(dataset) - bs + 1), bs):
         batch = build_tvc_batch(dataset, list(range(s, s + bs)))
         jb = {k: jnp.asarray(v) for k, v in batch.items()

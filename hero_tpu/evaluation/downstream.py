@@ -18,6 +18,7 @@ from hero_tpu.evaluation.vcmr_eval import VcmrEvalOpts, validate_full_vcmr
 from hero_tpu.models import videoqa as videoqa_lib
 from hero_tpu.models import violin as violin_lib
 from hero_tpu.models.pretrain import VsmConfig
+from hero_tpu.utils.misc import params_to_device
 
 
 def validate_full_vr(params, cfg: HeroConfig, vsm: VsmConfig,
@@ -46,7 +47,7 @@ def validate_videoqa(params, cfg: HeroConfig,
     fwd = jax.jit(lambda p, b: videoqa_lib.forward_videoqa(
         p, cfg, b, num_answers=num_answers, compute_loss=False,
         dtype=dtype))
-    params = jax.device_put(params)
+    params = params_to_device(params)
     results: Dict[Any, int] = {}
     logits_out: Dict[Any, np.ndarray] = {}
     n_correct, n_labeled, n_ex = 0, 0, 0
@@ -78,7 +79,7 @@ def validate_violin(params, cfg: HeroConfig,
     """Binary accuracy from sigmoid > 0.5 (reference eval_violin.py)."""
     fwd = jax.jit(lambda p, b: violin_lib.forward_violin(
         p, cfg, b, compute_loss=False, dtype=dtype))
-    params = jax.device_put(params)     # jit arg, not baked constant
+    params = params_to_device(params)     # jit arg, not baked constant
     results: Dict[Any, int] = {}
     n_correct, n_labeled, n_ex = 0, 0, 0
     for batch in batches:

@@ -17,6 +17,29 @@ from hero_tpu.models import model as backbone
 from hero_tpu.models import pretrain as pretrain_lib
 from hero_tpu.models.pretrain import VsmConfig
 from hero_tpu.utils.logger import LOGGER
+from hero_tpu.utils.misc import params_to_device
+
+
+def _device_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Validation batch → device arrays the jitted forward can consume.
+
+    Single-process: plain ``jnp.asarray``.  Multi-process: the params are
+    GLOBAL (replicated over every process's devices), and jit rejects
+    mixing them with process-local arrays — so the batch is device_put
+    replicated over the same global mesh.  That is legal because every
+    process's validation loader yields the IDENTICAL batch stream (the
+    pretrain val datasets are deterministic: per-(seed,epoch,index) task
+    RNG, no sampling) — the same common-data contract
+    ``mp_train_worker.py`` documents for training batches.
+    """
+    items = {k: v for k, v in batch.items() if not k.startswith("__")}
+    if jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in items.items()}
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from hero_tpu.parallel.mesh import get_mesh
+    sh = NamedSharding(get_mesh(), PartitionSpec())
+    return {k: jax.device_put(np.asarray(v), sh) for k, v in items.items()}
 
 
 def validate_pretrain(params, cfg: HeroConfig, vsm: VsmConfig,
@@ -51,13 +74,12 @@ def validate_vsm(params, cfg, vsm, loader, dtype=jnp.bfloat16):
     # scale exceeds the remote-compile request limit (HTTP 413)
     fwd = jax.jit(lambda p, b: pretrain_lib.forward_vsm(
         p, cfg, vsm, b, compute_loss=True, dtype=dtype))
-    params = jax.device_put(params)     # once, not per jit call
+    params = params_to_device(params)     # once, not per jit call
     t0 = time.time()
     tot = {"st_ed": 0.0, "neg_ctx": 0.0, "neg_q": 0.0}
     n_batches, n_ex = 0, 0
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not k.startswith("__")}
+        jb = _device_batch(batch)
         a, b_, c = fwd(params, jb)
         tot["st_ed"] += float(a)
         tot["neg_ctx"] += float(b_)
@@ -78,12 +100,11 @@ def validate_vsm(params, cfg, vsm, loader, dtype=jnp.bfloat16):
 def validate_mlm(params, cfg, loader, dtype=jnp.bfloat16):
     fwd = jax.jit(lambda p, b: backbone.forward_mlm(
         p["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
-    params = jax.device_put(params)     # jit arg, not baked constant
+    params = params_to_device(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_correct, n_word = 0.0, 0, 0
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not k.startswith("__")}
+        jb = _device_batch(batch)
         logits = np.asarray(fwd(params, jb))         # (N, M, V)
         labels = np.asarray(batch["mlm_labels"]).reshape(logits.shape[0],
                                                          -1)
@@ -111,13 +132,12 @@ def validate_mfm(params, cfg, loader, loss_kind, dtype=jnp.bfloat16,
     fwd_pred = jax.jit(lambda p, b: backbone.forward_mfm(
         p["v_encoder"], cfg, b, loss="nce", compute_loss=False,
         dtype=dtype))
-    params = jax.device_put(params)     # jit arg, not baked constant
+    params = params_to_device(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_feat = 0.0, 0
     n_correct = 0
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not k.startswith("__")}
+        jb = _device_batch(batch)
         if loss_kind == "regression":
             s, n = fwd_loss(params, jb)
             loss_sum += float(s)
@@ -154,12 +174,11 @@ def validate_fom(params, cfg, loader, dtype=jnp.bfloat16):
         p["v_encoder"], cfg, b, compute_loss=False, dtype=dtype))
     fwd_loss = jax.jit(lambda p, b: backbone.forward_fom(
         p["v_encoder"], cfg, b, dtype=dtype))
-    params = jax.device_put(params)     # jit arg, not baked constant
+    params = params_to_device(params)     # jit arg, not baked constant
     t0 = time.time()
     loss_sum, n_correct, n_frame = 0.0, 0, 0
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not k.startswith("__")}
+        jb = _device_batch(batch)
         logits = np.asarray(fwd(params, jb))         # (B, F, 100)
         targets = np.asarray(batch["fom_targets"])
         valid = targets >= 0

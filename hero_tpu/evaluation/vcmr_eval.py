@@ -31,6 +31,7 @@ from hero_tpu.evaluation import tvr_metrics
 from hero_tpu.models import pretrain as pretrain_lib
 from hero_tpu.models import vcmr as vcmr_lib
 from hero_tpu.models.pretrain import VsmConfig
+from hero_tpu.utils.misc import params_to_device
 
 
 @dataclasses.dataclass(frozen=True)
@@ -366,7 +367,7 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     """
     # place host params once: they enter every phase as jit ARGUMENTS, so
     # leaving them as numpy would re-upload the full model per batch
-    params = jax.device_put(params)
+    params = params_to_device(params)
     video2idx_local = {v: i for i, v in enumerate(video_ids)}
     chunked = (opts.corpus_chunk_videos
                and opts.corpus_chunk_videos < len(video_ids))

@@ -231,14 +231,29 @@ class TrainingRestorer:
         self.hps_path = os.path.join(output_dir, "restore_hps.json")
         self.writer = writer
         os.makedirs(output_dir, exist_ok=True)
+        # Multi-host: every process constructs a restorer over the SAME
+        # shared output_dir, so the hps sentinel must be written by the
+        # primary only, atomically (tmp+rename) — a non-primary reading a
+        # partially-written file would crash the resume guard.  A
+        # non-primary that races ahead of the primary's first write just
+        # skips the (advisory) guard; the primary still enforces it.
+        from hero_tpu.parallel.mesh import is_primary
         if os.path.exists(self.hps_path):
-            with open(self.hps_path) as f:
-                restore_hps = json.load(f)
-            assert restore_hps == hps, (
-                "hps changed between runs; refusing to resume")
-        else:
-            with open(self.hps_path, "w") as f:
+            try:
+                with open(self.hps_path) as f:
+                    restore_hps = json.load(f)
+            except ValueError:
+                if is_primary():
+                    raise        # primary wrote it atomically: real corruption
+                restore_hps = None   # non-primary raced a stale reader: skip
+            if restore_hps is not None:
+                assert restore_hps == hps, (
+                    "hps changed between runs; refusing to resume")
+        elif is_primary():
+            tmp = self.hps_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(hps, f, indent=4)
+            os.replace(tmp, self.hps_path)
         self.global_step = 0
 
     def can_restore(self) -> bool:

@@ -41,3 +41,20 @@ def enable_fast_rng() -> None:
     across platforms)."""
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
+
+
+def params_to_device(tree: Any) -> Any:
+    """``jax.device_put`` for HOST (numpy) leaves only.
+
+    Evaluation entry points receive params either from a checkpoint load
+    (host numpy — must be put once, or jit bakes them into the HLO and
+    flagship-size programs blow the tunnel's compile request limit) or
+    from a live TrainState (already-committed ``jax.Array``s — in a
+    multi-process run these are GLOBAL arrays, which a bare
+    ``device_put`` rejects as not fully addressable).  Put the former,
+    pass the latter through unchanged.
+    """
+    import jax
+    return jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array) else jax.device_put(x),
+        tree)
