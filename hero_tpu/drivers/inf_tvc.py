@@ -27,6 +27,7 @@ from hero_tpu.drivers import common
 from hero_tpu.drivers.eval_vcmr import load_serve_opts, resolve_checkpoint
 from hero_tpu.models import tvc as tvc_lib
 from hero_tpu.utils.logger import LOGGER
+from hero_tpu.utils.misc import params_to_device
 
 
 def detokenizer():
@@ -57,7 +58,7 @@ def generate_clip_captions(params, cfg, ds: TvcClipDataset, *, bos, eos,
     decode = jax.jit(lambda p, b: decode_fn(p, cfg, b,
                                             max_step=max_gen_step,
                                             bos=bos, eos=eos, **kwargs))
-    params = jax.device_put(params)
+    params = params_to_device(params)
     records, seen = [], set()
     bs = max(1, min(batch_size, len(ds)))
     for s in range(0, len(ds), bs):
@@ -129,6 +130,10 @@ def main(args):
         from hero_tpu.evaluation.caption_metrics import TVCEval
         scores = TVCEval(args.reference)(records)
         print(json.dumps(scores))
+        # metric artifact next to the submission; carries METEOR_variant
+        # so published numbers are self-describing (VERDICT r3 #7)
+        with open(args.submission + ".scores.json", "w") as f:
+            json.dump(scores, f, indent=2)
         return scores
     return records
 

@@ -243,12 +243,13 @@ def meteor_available() -> bool:
 # English defaults (Denkowski & Lavie 2014): alpha=0.85, beta=0.2,
 # gamma=0.6, delta=0.75, matcher weights exact=1.0 / stem=0.6 /
 # synonym=0.8 / paraphrase=0.6, Snowball English stemmer, function-word
-# discount.  This implementation reproduces the exact + stem modules with
+# discount.  This implementation reproduces all four matcher modules with
 # those parameters and the delta-weighted content/function split; the
-# WordNet synonym and paraphrase-table modules need data files unavailable
-# offline and are omitted (their absence LOWERS scores slightly — a
-# hypothesis word that only matches via synonymy counts as unmatched
-# here).  The emitted ``METEOR_variant`` key marks this.
+# synonym and paraphrase modules are DATA-GATED (the WordNet synsets and
+# the ~60 MB paraphrase-en table do not ship in this zero-egress image) —
+# without their data files they self-disable, which LOWERS scores
+# slightly (a hypothesis word that only matches via synonymy counts as
+# unmatched).  The emitted ``METEOR_variant`` key marks which modules ran.
 #
 # Scoring:  P = Σ_i w_i (δ·m_i(h_c) + (1−δ)·m_i(h_f)) / (δ|h_c| + (1−δ)|h_f|)
 #           R = same over the reference;  Fmean = P·R / (α·P + (1−α)·R)
@@ -257,7 +258,8 @@ def meteor_available() -> bool:
 # jar's MeteorStats accumulation does.
 
 _MET_ALPHA, _MET_BETA, _MET_GAMMA, _MET_DELTA = 0.85, 0.2, 0.6, 0.75
-_MET_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (jar's en weights)
+# jar's en matcher weights: exact, stem, synonym, paraphrase
+_MET_WEIGHTS = (1.0, 0.6, 0.8, 0.6)
 
 # Synonym module (jar matcher weight 0.8): enabled when synonym data is
 # available — either a meteor-style synsets file (lines ``word id id ...``)
@@ -309,6 +311,70 @@ def _synsets(word: str) -> frozenset:
         return table[word]
     return frozenset()
 
+
+# Paraphrase module (jar matcher weight 0.6): enabled when a paraphrase
+# table is available via $HERO_METEOR_PARAPHRASES.  The jar ships
+# ``data/paraphrase-en.gz`` (~60 MB, built by pivoting bilingual phrase
+# tables — Denkowski & Lavie 2010); it does not ship in this image (zero
+# egress), so the stage self-disables without a file and the variant
+# marker says so.  Accepted line formats (blank lines / ``#`` comments
+# skipped):
+#   ``phrase one ||| phrase two``              (meteor-style pair)
+#   ``p ||| phrase one ||| phrase two [ ||| …]`` (PPDB-style; leading
+#     probability field and any trailing fields ignored)
+# Entries are symmetrized at load: the jar's pivot-built table contains
+# both directions of nearly every pair, so a directional toy table would
+# otherwise behave surprisingly in tests/small deployments.
+_PARA_TABLE: Optional[Dict[tuple, frozenset]] = None
+_PARA_MAX_LEN = 1
+_PARA_LOADED = False
+
+
+def _load_paraphrases():
+    """Lazy one-shot probe for a paraphrase table; returns
+    (table|None, max_phrase_len)."""
+    global _PARA_TABLE, _PARA_MAX_LEN, _PARA_LOADED
+    if _PARA_LOADED:
+        return _PARA_TABLE, _PARA_MAX_LEN
+    _PARA_LOADED = True
+    import gzip
+    import os
+    path = os.environ.get("HERO_METEOR_PARAPHRASES")
+    if not path or not os.path.exists(path):
+        return None, 1
+    table: Dict[tuple, set] = {}
+    max_len = 1
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = [p.strip() for p in line.split("|||")]
+            if len(fields) >= 3 and _is_number(fields[0]):
+                a, b = fields[1], fields[2]       # PPDB: prob first
+            elif len(fields) >= 2:
+                a, b = fields[0], fields[1]
+            else:
+                continue
+            ta, tb = tuple(a.lower().split()), tuple(b.lower().split())
+            if not ta or not tb or ta == tb:
+                continue
+            table.setdefault(ta, set()).add(tb)
+            table.setdefault(tb, set()).add(ta)
+            max_len = max(max_len, len(ta), len(tb))
+    _PARA_TABLE = {k: frozenset(v) for k, v in table.items()}
+    _PARA_MAX_LEN = max_len
+    return _PARA_TABLE, _PARA_MAX_LEN
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
 # Approximation of the jar's English function-word list (words with
 # relative corpus frequency > 1e-3: closed-class words + clitics).  The
 # exact file ships inside the jar; the discount mechanism and delta match
@@ -326,11 +392,14 @@ which who whom 's 't n't 'll 're 've 'm 'd
 
 
 def _meteor_align(hyp: List[str], ref: List[str]):
-    """Stage-wise alignment (exact → stem → synonym when data present),
-    each hyp/ref word used at most once.  Ties prefer the ref position
-    that CONTINUES the previous match run (the jar's beam aligner
-    maximizes matches then minimizes chunks; this tie-break captures its
-    dominant effect).  Returns (align: hyp→ref, stage: hyp→module index).
+    """Stage-wise alignment (exact → stem → synonym → paraphrase, the
+    data-gated modules only when their data is present), each hyp/ref
+    word used at most once.  Ties prefer the ref position that CONTINUES
+    the previous match run (the jar's beam aligner maximizes matches
+    then minimizes chunks; this tie-break captures its dominant effect).
+    Returns (align: hyp→ref word map, stage: hyp→module index,
+    pmatches: list of (hi, hlen, ri, rlen) phrase-span matches from the
+    paraphrase module).
     """
     from hero_tpu.evaluation.snowball import snowball_stem
 
@@ -364,36 +433,108 @@ def _meteor_align(hyp: List[str], ref: List[str]):
             r_used[j] = True
             align[i] = j
             stage[i] = si
-    return align, stage
+    pmatches = _paraphrase_matches(hyp, ref, h_used, r_used)
+    return align, stage, pmatches
 
 
-def _chunks(align: Dict[int, int]) -> int:
+def _paraphrase_matches(hyp, ref, h_used, r_used):
+    """Paraphrase module: greedy left-to-right, longest-hyp-span-first
+    phrase matching over the words the word stages left unmatched.  A
+    hyp span matches a ref span when the pair is in the paraphrase
+    table; covered words on both sides are consumed.  Spans may differ
+    in length (the jar's Match carries independent lengths)."""
+    table, max_len = _load_paraphrases()
+    out: List[tuple] = []
+    if table is None:
+        return out
+    i = 0
+    while i < len(hyp):
+        if h_used[i]:
+            i += 1
+            continue
+        placed = False
+        for hlen in range(min(max_len, len(hyp) - i), 0, -1):
+            if any(h_used[i:i + hlen]):
+                continue
+            paras = table.get(tuple(hyp[i:i + hlen]))
+            if not paras:
+                continue
+            cands = []
+            for pt in paras:
+                rlen = len(pt)
+                for j in range(len(ref) - rlen + 1):
+                    if (not any(r_used[j:j + rlen])
+                            and tuple(ref[j:j + rlen]) == pt):
+                        cands.append((j, rlen))
+            if not cands:
+                continue
+            # continue-the-run preference, else leftmost ref span
+            want = None
+            for (pi, plen, pj, prlen) in out:
+                if pi + plen == i:
+                    want = pj + prlen
+            j, rlen = next(((j, rl) for j, rl in cands if j == want),
+                           min(cands))
+            for x in range(i, i + hlen):
+                h_used[x] = True
+            for x in range(j, j + rlen):
+                r_used[x] = True
+            out.append((i, hlen, j, rlen))
+            i += hlen
+            placed = True
+            break
+        if not placed:
+            i += 1
+    return out
+
+
+def _chunks(align: Dict[int, int], pmatches: Sequence[tuple] = ()) -> int:
+    """Chunk count over word matches + phrase-span matches: a new chunk
+    starts whenever hyp or ref position is not contiguous with the
+    previous match's span end (a phrase match is one contiguous block)."""
+    spans = [(i, 1, j, 1) for i, j in align.items()]
+    spans += list(pmatches)
+    spans.sort()
     ch, prev = 0, None
-    for i in sorted(align):
-        if prev is None or align[i] != align[prev] + 1 or i != prev + 1:
+    for (hi, hl, ri, rl) in spans:
+        if (prev is None or hi != prev[0] + prev[1]
+                or ri != prev[2] + prev[3]):
             ch += 1
-        prev = i
+        prev = (hi, hl, ri, rl)
     return ch
 
 
 def _meteor_stats(hyp: List[str], ref: List[str]):
     """Sufficient statistics for one (hyp, ref) pair: delta-weighted
-    match/length numerators for P and R, raw matches, chunks."""
+    match/length numerators for P and R, raw matches, chunks.  ``m`` is
+    the average of covered-word counts over the two sides (equal for
+    word matches; phrase matches may cover unequal spans)."""
     d = _MET_DELTA
-    align, stage = _meteor_align(hyp, ref)
+    align, stage, pmatches = _meteor_align(hyp, ref)
 
     def w_len(tokens):
         c = sum(1 for t in tokens if t not in _MET_FUNCTION_WORDS)
         f = len(tokens) - c
         return d * c + (1 - d) * f
 
+    def w_tok(t):
+        return d if t not in _MET_FUNCTION_WORDS else (1 - d)
+
     w_h = w_r = 0.0
     for i, j in align.items():
         wi = _MET_WEIGHTS[stage[i]]
-        w_h += wi * (d if hyp[i] not in _MET_FUNCTION_WORDS else (1 - d))
-        w_r += wi * (d if ref[j] not in _MET_FUNCTION_WORDS else (1 - d))
+        w_h += wi * w_tok(hyp[i])
+        w_r += wi * w_tok(ref[j])
+    cov_h = cov_r = len(align)
+    w_para = _MET_WEIGHTS[3]
+    for (hi, hl, ri, rl) in pmatches:
+        w_h += w_para * sum(w_tok(t) for t in hyp[hi:hi + hl])
+        w_r += w_para * sum(w_tok(t) for t in ref[ri:ri + rl])
+        cov_h += hl
+        cov_r += rl
     return {"w_h": w_h, "w_r": w_r, "len_h": w_len(hyp),
-            "len_r": w_len(ref), "m": len(align), "ch": _chunks(align)}
+            "len_r": w_len(ref), "m": (cov_h + cov_r) / 2,
+            "ch": _chunks(align, pmatches)}
 
 
 def _meteor_score(st) -> float:
@@ -463,9 +604,24 @@ class TVCEval:
         # (ADVICE r2): numbers are not comparable to jar-produced METEOR
         # at the second decimal (no WordNet synonym/paraphrase stages).
         out["METEOR"] = round(meteor(gts, res), 4)
-        syn_src = _load_synonyms()[1]
-        out["METEOR_variant"] = (
-            "python meteor-1.5-en exact+snowball"
-            + (f"+synonym[{syn_src}] (no paraphrase)" if syn_src
-               else " (no WordNet syn/para)"))
+        out["METEOR_variant"] = meteor_variant()
         return out
+
+
+def meteor_variant() -> str:
+    """Self-describing provenance string for pure-python METEOR scores:
+    which data-gated modules (synonym/paraphrase) were active.  Threaded
+    into every artifact that carries a METEOR number (TVCEval output,
+    inf_tvc score files) so published numbers are comparable-or-marked."""
+    syn_src = _load_synonyms()[1]
+    para = _load_paraphrases()[0] is not None
+    mods = "python meteor-1.5-en exact+snowball"
+    if syn_src:
+        mods += f"+synonym[{syn_src}]"
+    if para:
+        mods += "+paraphrase[file]"
+    missing = [m for m, on in (("synonym", syn_src), ("paraphrase", para))
+               if not on]
+    if missing:
+        mods += f" (no {'/'.join(missing)})"
+    return mods

@@ -310,7 +310,7 @@ def test_meteor_synonym_stage(tmp_path, monkeypatch):
     # without data: 'child'/'kid' are unmatched
     reset()
     monkeypatch.delenv("HERO_METEOR_SYNONYMS", raising=False)
-    base_align, base_stage = ours._meteor_align(hyp, ref)
+    base_align, base_stage, _ = ours._meteor_align(hyp, ref)
     assert 1 not in base_align
     base = ours._meteor_score(ours._meteor_stats(hyp, ref))
 
@@ -318,7 +318,7 @@ def test_meteor_synonym_stage(tmp_path, monkeypatch):
     syn.write_text("child s100 s200\nkid s200\nhome s300\n")
     reset()
     monkeypatch.setenv("HERO_METEOR_SYNONYMS", str(syn))
-    align, stage = ours._meteor_align(hyp, ref)
+    align, stage, _ = ours._meteor_align(hyp, ref)
     assert align[1] == 1 and stage[1] == 2      # synonym stage index
     assert ours._MET_WEIGHTS[2] == 0.8
     syn_score = ours._meteor_score(ours._meteor_stats(hyp, ref))
@@ -336,4 +336,91 @@ def test_meteor_synonym_stage(tmp_path, monkeypatch):
     out = ev([{"clip_id": 1,
                "descs": [{"desc": "the child strolls home"}]}])
     assert "synonym[file]" in out["METEOR_variant"]
+    reset()
+
+
+def test_meteor_paraphrase_stage(tmp_path, monkeypatch):
+    """Paraphrase module (jar matcher weight 0.6) activates from a
+    paraphrase table file and matches multi-word phrase spans of unequal
+    length, consumed as one contiguous block for the chunk penalty."""
+    def reset():
+        ours._PARA_LOADED = False
+        ours._PARA_TABLE = None
+        ours._PARA_MAX_LEN = 1
+
+    hyp = "the man sat on the couch right away".split()
+    ref = "the man sat on the sofa immediately".split()
+
+    reset()
+    monkeypatch.delenv("HERO_METEOR_PARAPHRASES", raising=False)
+    align, _, pm = ours._meteor_align(hyp, ref)
+    assert pm == [] and 5 not in align
+    base = ours._meteor_score(ours._meteor_stats(hyp, ref))
+
+    tab = tmp_path / "paraphrase-en.txt"
+    tab.write_text("# toy meteor-style + PPDB-style lines\n"
+                   "couch ||| sofa\n"
+                   "right away ||| immediately\n"
+                   "0.7 ||| big ||| large\n")
+    reset()
+    monkeypatch.setenv("HERO_METEOR_PARAPHRASES", str(tab))
+    table, max_len = ours._load_paraphrases()
+    assert max_len == 2
+    # symmetrized entries; PPDB probability field skipped
+    assert ("sofa",) in table[("couch",)]
+    assert ("couch",) in table[("sofa",)]
+    assert ("large",) in table[("big",)]
+
+    align, stage, pm = ours._meteor_align(hyp, ref)
+    assert (5, 1, 5, 1) in pm            # couch -> sofa
+    assert (6, 2, 6, 1) in pm            # right away -> immediately
+    st = ours._meteor_stats(hyp, ref)
+    # phrase matches continue the exact-match run: one chunk total
+    assert st["ch"] == 1
+    # m averages covered words over the two sides: (8 + 7) / 2
+    assert st["m"] == 7.5
+    assert ours._MET_WEIGHTS[3] == 0.6
+    para_score = ours._meteor_score(st)
+    assert para_score > base
+
+    # variant marker reports the active module in TVCEval output
+    import json
+    refs = tmp_path / "r.jsonl"
+    refs.write_text(json.dumps(
+        {"clip_id": 1, "descs": [{"desc": "the man sat on the sofa "
+                                          "immediately"}]}) + "\n")
+    ev = ours.TVCEval(str(refs))
+    out = ev([{"clip_id": 1,
+               "descs": [{"desc": "the man sat on the couch right "
+                                  "away"}]}])
+    assert "paraphrase[file]" in out["METEOR_variant"]
+    assert out["METEOR"] > 0.45
+    reset()
+
+
+def test_meteor_paraphrase_gzip_and_no_file(tmp_path, monkeypatch):
+    """.gz tables load; a missing path self-disables the stage."""
+    import gzip
+
+    def reset():
+        ours._PARA_LOADED = False
+        ours._PARA_TABLE = None
+        ours._PARA_MAX_LEN = 1
+
+    gz = tmp_path / "para.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("sprints quickly ||| dashes\n")
+    reset()
+    monkeypatch.setenv("HERO_METEOR_PARAPHRASES", str(gz))
+    table, max_len = ours._load_paraphrases()
+    assert ("dashes",) in table[("sprints", "quickly")] and max_len == 2
+    _, _, pm = ours._meteor_align("he sprints quickly".split(),
+                                  "he dashes".split())
+    assert pm == [(1, 2, 1, 1)]
+
+    reset()
+    monkeypatch.setenv("HERO_METEOR_PARAPHRASES", str(tmp_path / "nope"))
+    assert ours._load_paraphrases()[0] is None
+    var = ours.meteor_variant()
+    assert "paraphrase[file]" not in var and "paraphrase)" in var
     reset()
