@@ -6,6 +6,16 @@ AdamW, bf16, at the reference pretraining recipe's per-device batch of 32
 videos (``config/pretrain-tv-16gpu.json``), with the recipe's
 ``drop_svmr_prob = 0.8`` span-loss schedule.
 
+Round 4: the measured layout is the production ``--pack_subs`` path —
+TV-distribution videos packed 3-5 subs per f-encoder row behind the
+block-diagonal segment mask (4 rows x (16 f + 88 t) vs the unpacked
+16 x (16 + 40); ~2.15x fewer row slots for the same content AND 9x
+fewer truncated subs).  The A/B against the unpacked bucket lives in
+``tools/packing_bench.py`` / ``BENCH_PACKING.json``.  Both baseline
+denominators below price what the REFERENCE stack executes (its own
+dynamic padding, or our legacy bucket model), so they are independent
+of our layout choice.
+
 Bucket justification (fixed shapes must cover the TV-data distribution the
 reference pads to dynamically):
 - ``n_frames = 100``  = the recipe's hard ``max_clip_len`` clamp
@@ -93,9 +103,19 @@ def main():
     cfg = flagship_config()
     vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
                              drop_svmr_prob=0.8)
-    shape = synthetic.BatchShape(batch=32, n_subs=16, txt_len=40,
-                                 frames_per_sub=16, n_frames=100,
-                                 n_queries=2, query_len=30)
+    # headline layout: the production --pack_subs path. Same TV content
+    # as the unpacked bucket but several subs share each f-encoder row
+    # behind the block-diagonal segment mask — measured 1.77x the
+    # unpacked bucket's ex/s while truncating 5x fewer subs
+    # (tools/packing_bench.py, BENCH_PACKING.json). Both V100
+    # denominators below are layout-independent (they price what the
+    # reference stack itself would execute), so the ratio stays honest.
+    shape = synthetic.TV_UNPACKED       # the FLOP-model bucket (legacy)
+    r = np.random.RandomState(0)
+    from hero_tpu.data.occupancy import sample_tv_video
+    videos = [sample_tv_video(r) for _ in range(shape.batch)]
+    tv_batch, subs_dropped = synthetic.tv_vsm_batch(
+        videos, synthetic.TV_PACKED, packed=True, seed=2)
 
     params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
 
@@ -108,8 +128,7 @@ def main():
                      num_train_steps=100000, grad_norm=2.0)
     step = make_train_step(loss_fn, spec, donate=True)
     state = TrainState.create(params)
-    batch = {k: jnp.asarray(v)
-             for k, v in synthetic.vsm_batch(shape).items()}
+    batch = {k: jnp.asarray(v) for k, v in tv_batch.items()}
     rng = jax.random.PRNGKey(1)
 
     # NOTE: through the tunneled runtime, block_until_ready is a no-op —
@@ -140,6 +159,8 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(ex_per_sec / v100_ex_per_sec, 3),
         "vs_baseline_dynpad": round(ex_per_sec / v100_dynpad, 3),
+        "layout": "packed 4x(16f+88t) (--pack_subs)",
+        "subs_dropped_frac": round(subs_dropped, 4),
     }))
 
 

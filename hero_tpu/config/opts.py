@@ -93,7 +93,9 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--n_workers", default=4, type=int)
     p.add_argument("--pin_mem", action="store_true")
     # hero_tpu bucket shapes (fixed-shape pipeline)
-    p.add_argument("--bucket_n_subs", default=32, type=int)
+    p.add_argument("--bucket_n_subs", default=0, type=int,
+                   help="f-encoder rows per video; 0 = auto (32, or 8 "
+                        "packed rows with --pack_subs)")
     p.add_argument("--bucket_frames_per_sub", default=16, type=int)
     p.add_argument("--bucket_query_len", default=32, type=int)
     p.add_argument("--bucket_max_masked", default=0, type=int,
@@ -111,6 +113,12 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
     p.add_argument("--second_bucket", action="store_true",
                    help="route videos the primary bucket would truncate "
                         "to a second, larger compiled bucket (pretrain)")
+    p.add_argument("--pack_subs", action="store_true",
+                   help="pack several subs per f-encoder row behind a "
+                        "block-diagonal segment mask: ~2x less f-encoder "
+                        "work on TV-shaped data at <1%% sub drops "
+                        "(tools/packing_bench.py; composes with "
+                        "--second_bucket for the outliers)")
     return p
 
 

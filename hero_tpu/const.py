@@ -15,3 +15,8 @@ TXT_PAD_IDX = 1
 # Additive mask value for "impossible" logits (reference
 # model/modeling_utils.py:42-43 uses -1e4; BertEncoder uses -10000.0).
 MASK_LOGIT_EPS = -1e4
+
+# Sub packing (hero_tpu/data/packing.py): max packed subs ("segments")
+# per f-encoder row — the static width of the segment one-hot the
+# attention kernel contracts to build its block-diagonal mask.
+PACK_MAX_SEGS = 16

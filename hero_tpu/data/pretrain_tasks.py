@@ -123,22 +123,35 @@ class MlmDataset(_TaskDataset):
         num_subs = len(sub2frames)
         mask_pos = np.zeros((sp.n_subs, sp.max_masked), np.int32)
         labels = np.full((sp.n_subs, sp.max_masked), -1, np.int32)
-        for row, (sub_idx, _) in enumerate(sub2frames[:sp.n_subs]):
+        slots = [0] * sp.n_subs                 # per-ROW fill cursor
+        # pack mode: rows hold several subs; each sub's rewrite lands at
+        # its Placement offsets and mask positions are row-relative.
+        # The rng stream is consumed for EVERY sub (even ones the packer
+        # dropped) so masks don't shift when the bucket changes.
+        pack_map = item.get("__pack_map")
+        sub_iter = (sub2frames if db.pack else sub2frames[:sp.n_subs])
+        for row, (sub_idx, _) in enumerate(sub_iter):
             ids = db.sub_tokens(example, sub_idx, num_subs)
             # mask only the sub's own tokens (positions after [SEP])
             masked, labs = random_word(ids[1:], db.txt_db.v_range,
                                        db.txt_db.mask, rng,
                                        self.mask_prob)
+            if db.pack:
+                pl = pack_map.get(sub_idx)
+                if pl is None:
+                    continue             # dropped by the packer (counted)
+                row, off = pl.row, pl.toff
+            else:
+                off = 0
             new_ids = [db.txt_db.cls_] + masked
-            item["sub_input_ids"][row, :len(new_ids)] = new_ids
-            slot = 0
+            item["sub_input_ids"][row, off:off + len(new_ids)] = new_ids
             for pos, lab in enumerate(labs, start=1):
                 if lab == -1:
                     continue
-                if slot < sp.max_masked:
-                    mask_pos[row, slot] = pos
-                    labels[row, slot] = lab
-                    slot += 1
+                if slots[row] < sp.max_masked:
+                    mask_pos[row, slots[row]] = off + pos
+                    labels[row, slots[row]] = lab
+                    slots[row] += 1
                 else:
                     # never drop silently: with max_masked sized by
                     # mlm_row_cap this is a <1e-9 tail event, but it is

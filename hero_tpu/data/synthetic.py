@@ -164,3 +164,105 @@ def task_batch(task: str, shape: BatchShape,
     if task == "fom":
         return fom_batch(shape, seed)
     return base_batch(shape, seed)
+
+
+# ---------------------------------------------------------------------------
+# TV-distribution VSM batches, packed or unpacked (bench.py,
+# tools/packing_bench.py) — real per-video shapes from
+# hero_tpu.data.occupancy.sample_tv_video laid out into either bucket so
+# the two layouts carry IDENTICAL content and the packed/unpacked
+# throughput ratio is measured on the same examples.
+# ---------------------------------------------------------------------------
+
+TV_UNPACKED = BatchShape(batch=32, n_subs=16, txt_len=40,
+                         frames_per_sub=16, n_frames=100, n_queries=2,
+                         query_len=30)
+# measured TV fit for the packed bucket (tools/packing_bench.py): rows of
+# (16 f + 88 t) hold 3-5 dialogue subs; 0.8% of subs dropped over 512
+# sampled videos vs 7.2% at the unpacked bucket's n_subs=16 truncation
+TV_PACKED = BatchShape(batch=32, n_subs=4, txt_len=88,
+                       frames_per_sub=16, n_frames=100, n_queries=2,
+                       query_len=30)
+
+
+def _tv_common(r, B, shape: BatchShape):
+    return {
+        "c_v_feats": r.randn(B, shape.n_frames,
+                             shape.vfeat_dim).astype(np.float16),
+        "c_attn_masks": np.zeros((B, shape.n_frames), np.float32),
+        "query_input_ids": r.randint(
+            3, shape.vocab_size,
+            (B, shape.n_queries, shape.query_len)).astype(np.int32),
+        "query_attn_masks": np.ones(
+            (B, shape.n_queries, shape.query_len), np.float32),
+        "q_mask": np.ones((B, shape.n_queries), np.float32),
+        "targets": np.stack(
+            [r.randint(0, shape.n_frames // 2, (B, shape.n_queries)),
+             r.randint(shape.n_frames // 2, shape.n_frames - 1,
+                       (B, shape.n_queries))],
+            -1).astype(np.int32),
+    }
+
+
+def tv_vsm_batch(videos, shape: BatchShape, packed: bool, seed: int = 0):
+    """VSM batch holding ``videos`` (occupancy.VideoShape list) in the
+    unpacked (one sub per row) or packed (first-fit, segment ids) layout.
+    Returns (batch dict, fraction of subs dropped)."""
+    r = np.random.RandomState(seed)
+    B, S, Lt, Fs = (len(videos), shape.n_subs, shape.txt_len,
+                    shape.frames_per_sub)
+    out = _tv_common(r, B, shape)
+    out.update({
+        "sub_input_ids": np.ones((B, S, Lt), np.int32),
+        "sub_txt_mask": np.zeros((B, S, Lt), np.float32),
+        "sub_frame_idx": np.zeros((B, S, Fs), np.int32),
+        "sub_frame_mask": np.zeros((B, S, Fs), np.float32),
+        "sub_mask": np.zeros((B, S), np.float32),
+    })
+    if packed:
+        out.update({
+            "sub_txt_seg": np.full((B, S, Lt), -1, np.int32),
+            "sub_frame_seg": np.full((B, S, Fs), -1, np.int32),
+            "sub_txt_pos": np.zeros((B, S, Lt), np.int32),
+            "sub_frame_pos": np.zeros((B, S, Fs), np.int32),
+        })
+    dropped = total = 0
+    for b, v in enumerate(videos):
+        out["c_attn_masks"][b, :v.n_frames] = 1.0
+        lens = list(zip(v.sub_txt_lens, v.sub_n_frames))
+        total += len(lens)
+        f0 = 0
+        if packed:
+            from hero_tpu.data.packing import pack_subs
+            pls = pack_subs(lens, S, Lt, Fs)
+            for (tl, fl), pl in zip(lens, pls):
+                if pl is None:
+                    dropped += 1
+                    continue
+                t0, t1 = pl.toff, pl.toff + pl.tlen
+                out["sub_input_ids"][b, pl.row, t0:t1] = 5
+                out["sub_txt_mask"][b, pl.row, t0:t1] = 1.0
+                out["sub_txt_seg"][b, pl.row, t0:t1] = pl.seg
+                out["sub_txt_pos"][b, pl.row, t0:t1] = np.arange(pl.tlen)
+                if pl.flen:
+                    q0, q1 = pl.foff, pl.foff + pl.flen
+                    idx = (f0 + np.arange(pl.flen)) % v.n_frames
+                    out["sub_frame_idx"][b, pl.row, q0:q1] = idx
+                    out["sub_frame_mask"][b, pl.row, q0:q1] = 1.0
+                    out["sub_frame_seg"][b, pl.row, q0:q1] = pl.seg
+                    out["sub_frame_pos"][b, pl.row, q0:q1] = \
+                        np.arange(pl.flen)
+                    f0 += pl.flen
+                out["sub_mask"][b, pl.row] = 1.0
+        else:
+            dropped += max(0, len(lens) - S)
+            for s, (tl, fl) in enumerate(lens[:S]):
+                tl, fl = min(tl, Lt), min(fl, Fs)
+                out["sub_input_ids"][b, s, :tl] = 5
+                out["sub_txt_mask"][b, s, :tl] = 1.0
+                idx = (f0 + np.arange(fl)) % v.n_frames
+                out["sub_frame_idx"][b, s, :fl] = idx
+                out["sub_frame_mask"][b, s, :fl] = 1.0
+                out["sub_mask"][b, s] = 1.0
+                f0 += fl
+    return out, dropped / max(total, 1)

@@ -109,10 +109,14 @@ def _sub_row_lens(sub_store, sidecar, vid: str,
 
 
 def video_fits_bucket(db: "VideoFeatSubTokDataset", vid: str) -> bool:
-    """True iff ``vid`` suffers no truncation under ``db.shapes``."""
+    """True iff ``vid`` suffers no truncation under ``db.shapes``.
+
+    Pack mode (``db.pack``): shapes are ROW capacities, so the test runs
+    the actual first-fit packer — the video fits iff no sub is dropped
+    and no per-sub frame list exceeds the per-row frame budget."""
     sp = db.shapes
     sub2frames = db.txt_db.vid_sub2frame[vid]
-    if len(sub2frames) > sp.n_subs:
+    if len(sub2frames) > sp.n_subs and not db.pack:
         return False
     # clip-level frame capacity: video_item slices img_db[vid][:n_frames],
     # so a frame-heavy video must be routed to the bigger bucket
@@ -121,6 +125,7 @@ def video_fits_bucket(db: "VideoFeatSubTokDataset", vid: str) -> bool:
         return False
     lens = None
     sidecar = getattr(db.txt_db, "vid2sub_lens", None)
+    row_lens = []
     for sub_idx, frames in sub2frames:
         if len(frames) > sp.frames_per_sub:
             return False
@@ -131,18 +136,27 @@ def video_fits_bucket(db: "VideoFeatSubTokDataset", vid: str) -> bool:
                     if 0 <= t < len(lens))
         if n > sp.txt_len:
             return False
+        row_lens.append((n, len(frames)))
+    if db.pack:
+        from hero_tpu.data.packing import pack_subs
+        return all(p is not None for p in pack_subs(
+            row_lens, sp.n_subs, sp.txt_len, sp.frames_per_sub))
     return True
 
 
 class VideoFeatSubTokDataset:
     def __init__(self, sub_store: SubTokStore, vfeat_store: VideoFeatStore,
                  shapes: FixedShapes, max_txt_len: int = 60,
-                 sub_ctx_len: int = 0):
+                 sub_ctx_len: int = 0, pack: bool = False):
         self.txt_db = sub_store
         self.img_db = vfeat_store
         self.shapes = shapes
         self.max_txt_len = max_txt_len
         self.sub_ctx_len = sub_ctx_len
+        # pack=True: ``shapes`` is reinterpreted as ROW capacities —
+        # n_subs = packed rows, txt_len / frames_per_sub = per-row slot
+        # budgets shared by several subs (hero_tpu/data/packing.py)
+        self.pack = pack
         assert sub_ctx_len >= 0
         self.vids = list(sub_store.id2len.keys())
         self.vid2dur = sub_store.vid2dur
@@ -205,7 +219,7 @@ class VideoFeatSubTokDataset:
         num_subs = len(sub2frames)
         tc["videos_seen"] += 1
         txt_dropped_before = tc["txt_tokens_dropped"]
-        if num_subs > sp.n_subs:
+        if num_subs > sp.n_subs and not self.pack:
             tc["subs_dropped"] += num_subs - sp.n_subs
             lost = True
 
@@ -224,19 +238,24 @@ class VideoFeatSubTokDataset:
         out["c_v_feats"][:nframes] = v_feat
         out["c_attn_masks"][:nframes] = 1.0
 
-        for row, (sub_idx, frames) in enumerate(sub2frames[:sp.n_subs]):
-            ids = self.sub_tokens(example, sub_idx, num_subs, exclude_subs)
-            out["sub_input_ids"][row, :len(ids)] = ids
-            out["sub_txt_mask"][row, :len(ids)] = 1.0
-            frames = [f for f in frames if f < nframes]
-            if len(frames) > sp.frames_per_sub:
-                tc["frames_dropped"] += len(frames) - sp.frames_per_sub
-                lost = True
-            frames = frames[:sp.frames_per_sub]
-            if frames:
-                out["sub_frame_idx"][row, :len(frames)] = frames
-                out["sub_frame_mask"][row, :len(frames)] = 1.0
-            out["sub_mask"][row] = 1.0
+        if self.pack:
+            lost = self._fill_packed(out, example, sub2frames, num_subs,
+                                     nframes, exclude_subs) or lost
+        else:
+            for row, (sub_idx, frames) in enumerate(sub2frames[:sp.n_subs]):
+                ids = self.sub_tokens(example, sub_idx, num_subs,
+                                      exclude_subs)
+                out["sub_input_ids"][row, :len(ids)] = ids
+                out["sub_txt_mask"][row, :len(ids)] = 1.0
+                frames = [f for f in frames if f < nframes]
+                if len(frames) > sp.frames_per_sub:
+                    tc["frames_dropped"] += len(frames) - sp.frames_per_sub
+                    lost = True
+                frames = frames[:sp.frames_per_sub]
+                if frames:
+                    out["sub_frame_idx"][row, :len(frames)] = frames
+                    out["sub_frame_mask"][row, :len(frames)] = 1.0
+                out["sub_mask"][row] = 1.0
         if tc["txt_tokens_dropped"] > txt_dropped_before:
             lost = True
         if lost:
@@ -248,6 +267,62 @@ class VideoFeatSubTokDataset:
                     "monitor truncation_report() and consider a larger "
                     "bucket (suggest_shapes)", sp, vid, num_subs)
         return out
+
+    def _fill_packed(self, out, example, sub2frames, num_subs, nframes,
+                     exclude_subs) -> bool:
+        """Packed fill (``pack=True``): several subs per row, first-fit.
+
+        Adds the packed extras the model keys on (``sub_txt_seg`` /
+        ``sub_frame_seg`` segment ids with -1 = invalid slot, and the
+        per-segment-restarting ``sub_txt_pos`` / ``sub_frame_pos``
+        position ids) plus ``__pack_map`` — {sub_idx: Placement} python
+        metadata for tasks that rewrite sub text in place (MLM), dropped
+        by :func:`stack_items`.  Returns True if any sub was dropped.
+        """
+        from hero_tpu.data.packing import pack_subs
+        sp = self.shapes
+        tc = self.trunc_counts
+        lost = False
+        subs = []
+        for sub_idx, frames in sub2frames:
+            ids = self.sub_tokens(example, sub_idx, num_subs, exclude_subs)
+            frames = [f for f in frames if f < nframes]
+            if len(frames) > sp.frames_per_sub:
+                tc["frames_dropped"] += len(frames) - sp.frames_per_sub
+                lost = True
+                frames = frames[:sp.frames_per_sub]
+            subs.append((sub_idx, ids, frames))
+        placements = pack_subs([(len(i), len(f)) for _, i, f in subs],
+                               sp.n_subs, sp.txt_len, sp.frames_per_sub)
+        for k, shape in (("sub_txt_seg", (sp.n_subs, sp.txt_len)),
+                         ("sub_frame_seg", (sp.n_subs, sp.frames_per_sub))):
+            out[k] = np.full(shape, -1, np.int32)
+        out["sub_txt_pos"] = np.zeros((sp.n_subs, sp.txt_len), np.int32)
+        out["sub_frame_pos"] = np.zeros((sp.n_subs, sp.frames_per_sub),
+                                        np.int32)
+        pack_map = {}
+        for (sub_idx, ids, frames), pl in zip(subs, placements):
+            if pl is None:
+                tc["subs_dropped"] += 1
+                lost = True
+                continue
+            pack_map[sub_idx] = pl
+            r, t0, t1 = pl.row, pl.toff, pl.toff + pl.tlen
+            out["sub_input_ids"][r, t0:t1] = ids
+            out["sub_txt_mask"][r, t0:t1] = 1.0
+            out["sub_txt_seg"][r, t0:t1] = pl.seg
+            # positions restart per segment — identical ids to the slots
+            # the same tokens occupy in an unpacked row
+            out["sub_txt_pos"][r, t0:t1] = np.arange(pl.tlen)
+            if frames:
+                f0, f1 = pl.foff, pl.foff + pl.flen
+                out["sub_frame_idx"][r, f0:f1] = frames
+                out["sub_frame_mask"][r, f0:f1] = 1.0
+                out["sub_frame_seg"][r, f0:f1] = pl.seg
+                out["sub_frame_pos"][r, f0:f1] = np.arange(pl.flen)
+            out["sub_mask"][pl.row] = 1.0
+        out["__pack_map"] = pack_map
+        return lost
 
     def sub2frames(self, vid: str):
         return self.txt_db.vid_sub2frame[vid]
@@ -308,8 +383,13 @@ class VideoOnlyDataset:
 
 def stack_items(items: Sequence[Dict[str, np.ndarray]]
                 ) -> Dict[str, np.ndarray]:
-    """Batch = stack of fixed-shape structs (the whole collate)."""
-    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+    """Batch = stack of fixed-shape structs (the whole collate).
+
+    ``__``-prefixed keys are per-item python metadata (e.g. the pack
+    placement map), not batch arrays — dropped here.
+    """
+    return {k: np.stack([it[k] for it in items]) for k in items[0]
+            if not k.startswith("__")}
 
 
 def pad_query(ids: List[int], query_len: int, pad: int):

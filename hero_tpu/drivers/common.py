@@ -17,18 +17,28 @@ from hero_tpu.utils.logger import LOGGER
 
 
 def shapes_from_opts(opts) -> FixedShapes:
+    pack = getattr(opts, "pack_subs", False)
+    # pack mode defaults: a quarter of the row count at double the text
+    # budget covers the same content, because rows hold several subs
+    # behind the block-diagonal segment mask (measured TV fit: rows of
+    # ~88 tokens hold 3-5 dialogue subs with <1% drops — see
+    # tools/packing_bench.py); bucket_* flags override as usual.
+    n_subs = getattr(opts, "bucket_n_subs", 0) or (8 if pack else 32)
     txt_len = getattr(opts, "bucket_txt_len", None)
     if not txt_len:
         txt_len = min(opts.max_txt_len * (opts.sub_ctx_len + 1) + 1, 120)
+        if pack:
+            txt_len = min(2 * txt_len, 184)
     max_masked = getattr(opts, "bucket_max_masked", 0)
     if not max_masked:
         # auto: sized from the configured mask probability + binomial tail
         # (reference data/mlm.py keeps every masked position — a cap below
-        # the tail silently skews the mask rate; VERDICT r3 weak #2)
+        # the tail silently skews the mask rate; VERDICT r3 weak #2).
+        # In pack mode txt_len is the ROW budget, so the cap auto-scales.
         from hero_tpu.data.pretrain_tasks import mlm_row_cap
         max_masked = mlm_row_cap(getattr(opts, "mask_prob", 0.15), txt_len)
     return FixedShapes(
-        n_subs=getattr(opts, "bucket_n_subs", 32),
+        n_subs=n_subs,
         txt_len=txt_len,
         frames_per_sub=getattr(opts, "bucket_frames_per_sub", 16),
         n_frames=opts.max_clip_len,
@@ -47,7 +57,8 @@ def load_video_sub_dataset(opts, shapes: FixedShapes
                            max_clip_len=opts.max_clip_len)
     return VideoFeatSubTokDataset(sub, vfeat, shapes,
                                   max_txt_len=opts.max_txt_len,
-                                  sub_ctx_len=opts.sub_ctx_len)
+                                  sub_ctx_len=opts.sub_ctx_len,
+                                  pack=getattr(opts, "pack_subs", False))
 
 
 def load_video_only_dataset(opts, shapes: FixedShapes):

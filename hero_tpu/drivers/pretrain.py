@@ -66,7 +66,8 @@ def build_targets(opts):
                                    max_clip_len=opts.max_clip_len)
         out[tgt["name"]] = VideoFeatSubTokDataset(
             sub, vfeat, shapes, max_txt_len=opts.max_txt_len,
-            sub_ctx_len=opts.sub_ctx_len)
+            sub_ctx_len=opts.sub_ctx_len,
+            pack=getattr(opts, "pack_subs", False))
         for task, r in tgt.get("tasks", DEFAULT_TASKS).items():
             ratios[f"{task}@{tgt['name']}"] = r * tr
     return out, ratios
@@ -96,6 +97,9 @@ def _bucketize(opts, video_dbs):
                                     max_txt_len=db.max_txt_len,
                                     sub_ctx_len=db.sub_ctx_len,
                                     base=db.shapes)
+        # the overflow bucket is always UNPACKED: suggest_shapes emits
+        # per-sub shapes, and videos landing here are the rare outliers
+        # the packer could not fit (db.pack makes the fit test pack-aware)
         big_db = VideoFeatSubTokDataset(db.txt_db, db.img_db, big_shapes,
                                         max_txt_len=db.max_txt_len,
                                         sub_ctx_len=db.sub_ctx_len)

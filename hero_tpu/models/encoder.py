@@ -60,20 +60,37 @@ def _img_type_embedding(p: Params, dtype) -> jax.Array:
 
 def _fused_embeddings(p: Params, cfg: TransformerConfig,
                       sub_input_ids, txt_mask, v_feats, v_mask,
-                      img_masks=None, v_feats_projected=False, rng=None,
-                      train=False, dtype=jnp.float32
+                      img_masks=None, v_feats_projected=False,
+                      packed=None, rng=None, train=False, dtype=jnp.float32
                       ) -> Tuple[jax.Array, jax.Array]:
     """Embed ``[frames ; text]`` rows. Returns (hidden (N, Fs+Lt, D), attention
-    mask (N, Fs+Lt))."""
+    mask (N, Fs+Lt)).
+
+    ``packed``: sub-packing extras (hero_tpu/data/packing.py) — a dict
+    with ``txt_seg``/``frame_seg`` (segment ids, -1 = invalid slot) and
+    ``txt_pos``/``frame_pos`` (per-segment-restarting position ids), all
+    (N, L*).  When given, position embeddings follow the per-segment ids
+    and the returned mask is the (N, Fs+Lt, PACK_MAX_SEGS) segment
+    one-hot the attention kernel turns into a block-diagonal bias.
+    """
     txt_emb = embed.sub_embeddings(
-        p["embeddings"], sub_input_ids, cfg=cfg,
-        rng=nn.rng_for(rng, "txt"), train=train, dtype=dtype)
+        p["embeddings"], sub_input_ids,
+        position_ids=None if packed is None else packed["txt_pos"],
+        cfg=cfg, rng=nn.rng_for(rng, "txt"), train=train, dtype=dtype)
     img_emb = embed.image_embeddings(
         p["img_embeddings"], v_feats, _img_type_embedding(p, dtype),
+        img_pos_ids=None if packed is None else packed["frame_pos"],
         img_masks=img_masks, cfg=cfg, projected=v_feats_projected,
         rng=nn.rng_for(rng, "img"), train=train, dtype=dtype)
     hidden = jnp.concatenate([img_emb, txt_emb], axis=1)
-    mask = jnp.concatenate([v_mask, txt_mask], axis=1).astype(jnp.float32)
+    if packed is not None:
+        from hero_tpu.const import PACK_MAX_SEGS
+        seg_ids = jnp.concatenate([packed["frame_seg"], packed["txt_seg"]],
+                                  axis=1)
+        mask = jax.nn.one_hot(seg_ids, PACK_MAX_SEGS, dtype=dtype)
+    else:
+        mask = jnp.concatenate([v_mask, txt_mask],
+                               axis=1).astype(jnp.float32)
     return hidden, mask
 
 
@@ -81,16 +98,17 @@ def cross_modal_repr(p: Params, cfg: TransformerConfig,
                      sub_input_ids: jax.Array, txt_mask: jax.Array,
                      v_feats: jax.Array, v_mask: jax.Array,
                      img_masks: Optional[jax.Array] = None, *,
-                     v_feats_projected: bool = False,
+                     v_feats_projected: bool = False, packed=None,
                      rng=None, train=False, dtype=jnp.float32) -> jax.Array:
     """Fused encoding ('repr').  Returns (N, Fs+Lt, D): first Fs positions
     are the per-sub frame outputs, rest are subtitle token outputs.
     ``v_feats_projected``: v_feats already passed through
-    :func:`embed.project_image_features` (clip-level projection)."""
+    :func:`embed.project_image_features` (clip-level projection).
+    ``packed``: sub-packing extras (see :func:`_fused_embeddings`)."""
     hidden, mask = _fused_embeddings(
         p, cfg, sub_input_ids, txt_mask, v_feats, v_mask, img_masks,
-        v_feats_projected=v_feats_projected, rng=rng, train=train,
-        dtype=dtype)
+        v_feats_projected=v_feats_projected, packed=packed, rng=rng,
+        train=train, dtype=dtype)
     return transformer.encoder(p["encoder"], hidden, mask, cfg,
                                rng=nn.rng_for(rng, "enc"), train=train,
                                dtype=dtype)
@@ -114,14 +132,15 @@ def cross_modal_mlm(p: Params, cfg: TransformerConfig,
                     sub_input_ids: jax.Array, txt_mask: jax.Array,
                     v_feats: jax.Array, v_mask: jax.Array,
                     mask_pos: jax.Array, *, vocab_pad: int = 0,
-                    rng=None, train=False, dtype=jnp.float32) -> jax.Array:
+                    packed=None, rng=None, train=False,
+                    dtype=jnp.float32) -> jax.Array:
     """MLM logits at masked text positions.
 
     ``mask_pos``: (N, M) indices into the *text* portion (0..Lt-1), padded
     arbitrarily (loss masks them via label -1).  Returns (N, M, vocab).
     """
     seq = cross_modal_repr(p, cfg, sub_input_ids, txt_mask, v_feats, v_mask,
-                           rng=rng, train=train, dtype=dtype)
+                           packed=packed, rng=rng, train=train, dtype=dtype)
     Fs = v_feats.shape[1]
     txt_hidden = seq[:, Fs:]                          # (N, Lt, D)
     picked = jnp.take_along_axis(txt_hidden, mask_pos[..., None], axis=1)

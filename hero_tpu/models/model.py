@@ -177,6 +177,24 @@ def _flatten_subs(batch: Dict[str, jax.Array]):
     return B, S, Lt, Fs, flat
 
 
+def _packed_extras(batch: Dict[str, jax.Array], flat):
+    """Sub-packing extras for the f-encoder, or None when the batch is
+    unpacked.  Presence of ``sub_txt_seg`` marks a packed batch
+    (hero_tpu/data/packing.py; emitted by VideoFeatSubTokDataset with
+    ``pack=True``) — rows then hold several subs, and the encoder needs
+    the per-slot segment ids (block-diagonal attention) and
+    per-segment-restarting position ids.  Everything else — the frame
+    gather, the clip-timeline scatter, MLM's mask_pos gather — is keyed
+    per slot by ``sub_frame_idx``/``mlm_mask_pos`` and works unchanged.
+    """
+    if "sub_txt_seg" not in batch:
+        return None
+    return {"txt_seg": flat(batch["sub_txt_seg"]),
+            "txt_pos": flat(batch["sub_txt_pos"]),
+            "frame_seg": flat(batch["sub_frame_seg"]),
+            "frame_pos": flat(batch["sub_frame_pos"])}
+
+
 def forward_repr(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
                  encode_clip: bool = True, f_img_masks=None,
                  c_v_feats_override=None, rng=None, train=False,
@@ -203,7 +221,7 @@ def forward_repr(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
             p["f_encoder"], cfg.f_config,
             flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
             sub_v_in, flat(batch["sub_frame_mask"]),
-            v_feats_projected=True,
+            v_feats_projected=True, packed=_packed_extras(batch, flat),
             rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
     else:
         sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
@@ -214,6 +232,7 @@ def forward_repr(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
             flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
             flat(sub_v_feats), flat(batch["sub_frame_mask"]),
             img_masks=None if f_img_masks is None else flat(f_img_masks),
+            packed=_packed_extras(batch, flat),
             rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
 
     frame_part = seq_out[:, :Fs].reshape(B, S, Fs, -1)
@@ -270,7 +289,7 @@ def forward_mlm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
         p["f_encoder"], cfg.f_config,
         flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
         flat(sub_v_feats), flat(batch["sub_frame_mask"]),
-        flat(batch["mlm_mask_pos"]),
+        flat(batch["mlm_mask_pos"]), packed=_packed_extras(batch, flat),
         rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
     labels = flat(batch["mlm_labels"])           # (N, M)
     if not compute_loss:
@@ -352,7 +371,7 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
             p["f_encoder"], cfg.f_config,
             flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
             sub_v_in, flat(batch["sub_frame_mask"]),
-            v_feats_projected=True,
+            v_feats_projected=True, packed=_packed_extras(batch, flat),
             rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
     else:
         sub_v_feats = gather_sub_frames(c_v_feats, batch["sub_frame_idx"])
@@ -363,6 +382,7 @@ def forward_mfm(p: Params, cfg: HeroConfig, batch: Dict[str, jax.Array], *,
             flat(batch["sub_input_ids"]), flat(batch["sub_txt_mask"]),
             flat(sub_v_feats), flat(batch["sub_frame_mask"]),
             img_masks=flat(f_img_masks),
+            packed=_packed_extras(batch, flat),
             rng=nn.rng_for(rng, "f_enc"), train=train, dtype=dtype)
     frame_part = seq_out[:, :Fs].reshape(B, S, Fs, -1)
     valid = (batch["sub_frame_mask"]

@@ -55,11 +55,18 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   dropout_rate: float = 0.0,
                   dropout_rng: Optional[jax.Array] = None,
                   causal: bool = False) -> jax.Array:
-    """q,k,v: (B, H, L, d); kv_mask: (B, Lk) 1=valid. Returns (B, H, Lq, d)."""
+    """q,k,v: (B, H, L, d); kv_mask: (B, Lk) 1=valid, or a (B, L, S)
+    SEGMENT one-hot (sub packing: token i may attend token j iff their
+    one-hot rows match; all-zero rows = invalid slots, matching nothing).
+    Returns (B, H, Lq, d)."""
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
-    if kv_mask is not None:
+    if kv_mask is not None and kv_mask.ndim == 3:
+        seg = kv_mask.astype(jnp.float32)
+        same = jnp.einsum("bqs,bks->bqk", seg[:, :q.shape[2]], seg)
+        s = s + (1.0 - same)[:, None] * NEG_INF
+    elif kv_mask is not None:
         bias = (1.0 - kv_mask.astype(jnp.float32)) * NEG_INF
         s = s + bias[:, None, None, :]
     if causal:
@@ -294,6 +301,44 @@ def _fwd3_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *,
     p_ref[0] = jnp.stack(probs, axis=0)
 
 
+def _fwd3_seg_kernel(seed_ref, q_ref, k_ref, v_ref, seg_ref, o_ref, p_ref,
+                     *, scale: float, dropout_rate: float, n_heads: int,
+                     head_dim: int, lk: int):
+    """Segment-mask variant of :func:`_fwd3_kernel` (sub packing).
+
+    ``seg_ref``: (1, Lk_p, S) one-hot segment ids in the model dtype;
+    all-zero rows mark invalid/padded slots.  The block-diagonal bias is
+    one tiny MXU matmul — ``seg · segᵀ`` is 1 iff both slots are valid
+    and share a segment — replacing the 1-D key-validity bias.  Dropout
+    draw shapes are identical to the non-seg kernel, so the PRNG stream
+    (and the shared saved-probs backward) is unchanged.
+    """
+    b = pl.program_id(0)
+    d = head_dim
+    segk = seg_ref[0]                          # (Lk_p, S)
+    lq = q_ref.shape[1]
+    same = jax.lax.dot_general(segk[:lq], segk, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    bias = (1.0 - same) * NEG_INF              # (Lq, Lk_p)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], b)
+    q2 = q_ref[0]
+    k2 = _zero_oob_rows(k_ref[0], lk)
+    v2 = _zero_oob_rows(v_ref[0], lk)
+    probs = []
+    for h in range(n_heads):
+        p = _probs(q2[:, h * d:(h + 1) * d], k2[:, h * d:(h + 1) * d],
+                   bias, scale, False)
+        probs.append(p.astype(p_ref.dtype))
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_mask(p.shape, dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        o = jnp.dot(p.astype(v2.dtype), v2[:, h * d:(h + 1) * d],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+    p_ref[0] = jnp.stack(probs, axis=0)
+
+
 def _bwd3_kernel(seed_ref, p_ref, q_ref, k_ref, v_ref, do_ref,
                  dq_ref, dk_ref, dv_ref, *, scale: float,
                  dropout_rate: float, n_heads: int, head_dim: int,
@@ -423,6 +468,58 @@ def _fused_attention3_bwd(dropout_rate, interpret, causal, n_heads, res,
 _fused_attention3.defvjp(_fused_attention3_fwd, _fused_attention3_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_attention3_seg(q, k, v, seg, seed_arr, dropout_rate, interpret,
+                          causal, n_heads):
+    return _fused_attention3_seg_fwd(q, k, v, seg, seed_arr, dropout_rate,
+                                     interpret, causal, n_heads)[0]
+
+
+def _fused_attention3_seg_fwd(q, k, v, seg, seed_arr, dropout_rate,
+                              interpret, causal, n_heads):
+    """Seg-mask forward: identical IO contract to the v1 fwd except the
+    (B, 1, Lk_p) validity mask becomes a (B, Lk_p, S) segment one-hot.
+    The backward is SHARED with the non-seg path — it consumes only the
+    saved probabilities (the bias is constant wrt q/k/v), so a masked
+    column's exactly-zero prob kills its gradient identically."""
+    del causal  # packing is encoder-only; the causal decoder never packs
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    Lk_p = seg.shape[1]
+    H = n_heads
+    d = D // H
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_fwd3_seg_kernel, scale=scale,
+                               dropout_rate=dropout_rate, n_heads=H,
+                               head_dim=d, lk=Lk)
+    out, probs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[_packed_spec(Lq, D), _packed_spec(Lk_p, D),
+                      _packed_spec(Lk_p, D),
+                      _packed_spec(Lk_p, seg.shape[-1])],
+            out_specs=[_packed_spec(Lq, D), _probs_spec(H, Lq, Lk_p)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Lq, Lk_p), q.dtype)],
+        interpret=interpret,
+    )(seed_arr, q, k, v, seg)
+    return out, (probs, q, k, v, seed_arr)
+
+
+def _fused_attention3_seg_bwd(dropout_rate, interpret, causal, n_heads,
+                              res, do):
+    dq, dk, dv, *_ = _fused_attention3_bwd(dropout_rate, interpret, False,
+                                           n_heads, res, do)
+    return dq, dk, dv, None, None
+
+
+_fused_attention3_seg.defvjp(_fused_attention3_seg_fwd,
+                             _fused_attention3_seg_bwd)
+
+
 def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      n_heads: int, kv_mask: Optional[jax.Array] = None,
                      dropout_rate: float = 0.0,
@@ -435,18 +532,27 @@ def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     On TPU this dispatches to the v3 Pallas kernel (no head transposes,
     in-kernel dropout, saved-probs backward); elsewhere it reshapes and
     falls back to :func:`mha_reference`.
+
+    ``kv_mask`` may be a (B, L, S) SEGMENT one-hot instead of the (B, Lk)
+    validity vector (sub packing, self-attention only): token i attends
+    token j iff their one-hot rows match; all-zero rows are invalid
+    slots.  Numerically exact vs running each segment as its own row:
+    cross-segment scores carry the same -1e4 bias as masked keys, whose
+    softmax contribution underflows to exactly 0 in fp32.
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
     d = D // n_heads
+    seg_mode = kv_mask is not None and kv_mask.ndim == 3
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and Lk >= PALLAS_MIN_LK)
-    if causal and Lq != Lk:
+    if causal and (Lq != Lk or seg_mode):
         use_pallas = False
     if kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.float32)
-    kv_mask = kv_mask.astype(jnp.float32)
+    if not seg_mode:
+        kv_mask = kv_mask.astype(jnp.float32)
 
     if not use_pallas:
         to_heads = lambda t, L: t.reshape(B, L, n_heads, d).transpose(
@@ -478,7 +584,8 @@ def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         kp = jnp.pad(kp, ((0, 0), (0, pad_k), (0, 0)))
         vp = jnp.pad(vp, ((0, 0), (0, pad_k), (0, 0)))
     if pad_k:
-        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_k)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_k))
+                          + ((0, 0),) * (kv_mask.ndim - 2))
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         seed_arr = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1,
@@ -488,8 +595,15 @@ def packed_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         seed_arr = jnp.zeros((1,), jnp.int32)
 
     interpret = jax.default_backend() != "tpu"
-    out = _fused_attention3(qp, kp, vp, kv_mask, seed_arr, dropout_rate,
-                            interpret, causal, n_heads)
+    if seg_mode:
+        # one-hot rows in the model dtype: the in-kernel seg·segᵀ bias is
+        # a tiny MXU matmul, exact in bf16 (entries 0/1, ≤1 hit per row)
+        out = _fused_attention3_seg(qp, kp, vp, kv_mask.astype(q.dtype),
+                                    seed_arr, dropout_rate, interpret,
+                                    causal, n_heads)
+    else:
+        out = _fused_attention3(qp, kp, vp, kv_mask, seed_arr,
+                                dropout_rate, interpret, causal, n_heads)
     if pad_q:
         out = out[:, :Lq]
     return out

@@ -121,6 +121,29 @@ def test_pretrain_driver_pipeline_parallel(env, tmp_path_factory):
     assert os.listdir(os.path.join(cfg["output_dir"], "ckpt"))
 
 
+def test_pretrain_driver_pack_subs(env, tmp_path_factory):
+    """--pack_subs end-to-end: the packed data layer (segment ids,
+    per-segment positions, MLM placement map) drives every pretrain task
+    + validation through the real driver; the seg-mask attention path
+    must tolerate every batch shape the encoders see (CLAUDE.md toggle
+    rule — e2e, not just units)."""
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("pack_drv"))
+    cfg = dict(base, output_dir=os.path.join(root2, "pretrain_pack_out"),
+               lw_neg_q=1.0, lw_neg_ctx=1.0, lw_st_ed=0.01,
+               query_per_video=2,
+               hard_negtiave_start_step=[2], hard_pool_size=[4],
+               hard_neg_weights=[10],
+               bucket_n_subs=2, bucket_txt_len=32,
+               bucket_frames_per_sub=16, bucket_max_masked=8)
+    path = _write_cfg(root2, "pretrain_pack.json", cfg)
+    opts = opts_lib.get_pretrain_args(["--config", path, "--pack_subs"])
+    from hero_tpu.drivers import pretrain as drv
+    drv.main(opts)
+    assert os.path.exists(os.path.join(cfg["output_dir"], "restore.npz"))
+    assert os.listdir(os.path.join(cfg["output_dir"], "ckpt"))
+
+
 def test_videoqa_driver_and_eval(env):
     root, corpus, base = env
     cfg = dict(base, output_dir=os.path.join(root, "qa_out"),

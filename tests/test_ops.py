@@ -222,3 +222,72 @@ def test_layer_norm_public_wrapper():
     out = layer_norm(x, w, b)  # jnp path on CPU
     np.testing.assert_allclose(out, layer_norm_reference(x, w, b),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# segment-mask (sub packing) attention
+# ---------------------------------------------------------------------------
+
+def _seg_onehot(seg_ids, S, dtype=jnp.float32):
+    """(B, L) int ids with -1 = invalid → (B, L, S) one-hot (zeros row
+    for invalid slots)."""
+    return jax.nn.one_hot(seg_ids, S, dtype=dtype)
+
+
+def _unpacked_rows(q, k, v, seg_ids, S, H, use_pallas):
+    """Ground truth: run every segment as its own (masked) row."""
+    from hero_tpu.ops.attention import packed_attention
+    B, L, D = q.shape
+    outs = jnp.zeros_like(q)
+    for s in range(S):
+        m = (seg_ids == s).astype(jnp.float32)          # (B, L)
+        o = packed_attention(q, k, v, H, m, use_pallas=use_pallas)
+        outs = outs + o * m[..., None]
+    return outs
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_packed_attention_segment_mask(use_pallas):
+    """Packed rows with a (B, L, S) segment one-hot ≡ per-segment rows.
+
+    Exactness argument (ops/attention.py packed_attention docstring):
+    cross-segment and invalid-slot scores carry the -1e4 bias, whose
+    exp underflows to exactly 0.0 in fp32, so each token's softmax and
+    value contraction see bit-identical contributions either way."""
+    rng = jax.random.PRNGKey(3)
+    B, L, D, H, S = 2, 56, 64, 4, 5
+    q, k, v = (jax.random.normal(rng, (3, B, L, D)) / 8).astype(jnp.float32)
+    # segments laid out contiguously with some invalid (-1) tail slots
+    ids = np.full((B, L), -1, np.int32)
+    bounds = [0, 11, 25, 31, 44, 50]
+    for b in range(B):
+        for s in range(S):
+            ids[b, bounds[s]:bounds[s + 1]] = s
+    seg = _seg_onehot(jnp.asarray(ids), S)
+    from hero_tpu.ops.attention import packed_attention
+    packed = packed_attention(q, k, v, H, seg, use_pallas=use_pallas)
+    want = _unpacked_rows(q, k, v, jnp.asarray(ids), S, H,
+                          use_pallas=use_pallas)
+    valid = (ids >= 0)[..., None]
+    np.testing.assert_allclose(np.where(valid, packed, 0.0),
+                               np.where(valid, want, 0.0),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_packed_attention_segment_grads():
+    """Seg-mode backward (shared saved-probs kernel) vs jnp-path grads."""
+    rng = jax.random.PRNGKey(4)
+    B, L, D, H, S = 1, 24, 32, 2, 3
+    q, k, v = (jax.random.normal(rng, (3, B, L, D)) / 8).astype(jnp.float32)
+    ids = jnp.asarray(np.array([[0] * 7 + [1] * 6 + [2] * 9 + [-1] * 2]))
+    seg = _seg_onehot(ids, S)
+    from hero_tpu.ops.attention import packed_attention
+
+    def loss(qq, kk, vv, pallas):
+        o = packed_attention(qq, kk, vv, H, seg, use_pallas=pallas)
+        return jnp.sum((o * (ids >= 0)[..., None]) ** 2)
+
+    gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
+    gr = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -227,7 +227,11 @@ def test_padded_tail_batches_match_unpadded(setup):
             assert a["desc_id"] == b["desc_id"]
             for pa, pb in zip(a["predictions"], b["predictions"]):
                 assert pa[:3] == pb[:3]
-                assert pa[3] == pytest.approx(pb[3], rel=1e-6)
+                # raw scores: the padded batch (4 rows vs 3) changes
+                # XLA's fp32 matmul tiling, so reduction order inside
+                # each real row's dot products shifts by ~1e-6 rel —
+                # rankings/metrics above are asserted exactly
+                assert pa[3] == pytest.approx(pb[3], rel=2e-5)
 
 
 def test_chunked_corpus_eval_bit_equal(setup):

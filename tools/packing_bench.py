@@ -1,0 +1,111 @@
+"""Sub-packing payoff measurement (VERDICT r3 #1 claw-back).
+
+Fixed-shape pipelines do the same arithmetic regardless of how full the
+bucket is, so the padding waste the occupancy audit measured
+(``hero_tpu/data/occupancy.py``: f-rows ~46% empty at the bench bucket)
+can only be clawed back by CHANGING THE BUCKET.  Sub packing
+(``hero_tpu/data/packing.py``) lets several subs share one f-encoder row
+behind a block-diagonal segment mask (``ops/attention.py`` seg mode), so
+the same TV-distribution content fits a far smaller bucket:
+
+    unpacked: 16 rows x (16 frames + 40 txt) = 896 slots, 7.2% of subs
+              dropped (n_subs=16 truncation; 512-video sample)
+    packed:    4 rows x (16 frames + 88 txt) = 416 slots, 0.8% dropped
+
+i.e. the packed bucket does ~2.15x less f-encoder linear work AND
+truncates 9x fewer subs.  This tool runs the REAL flagship VSM train
+step (same protocol as bench.py) at both buckets on the same sampled
+videos and reports measured examples/s for each.
+
+Measured (v5e, 2026-08-19): unpacked 335.3 ex/s / 95.4 ms, packed
+594.4 ex/s / 53.8 ms -> 1.77x.  bench.py's headline runs the packed
+layout (the production ``--pack_subs`` path).
+
+Run on the real chip:  python tools/packing_bench.py
+Writes BENCH_PACKING.json at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hero_tpu.data.occupancy import sample_tv_video
+from hero_tpu.data.synthetic import TV_PACKED, TV_UNPACKED, tv_vsm_batch
+
+
+def measure(step, state, batch, rng, n_steps=20):
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    float(metrics["loss"])                      # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch,
+                              jax.random.fold_in(rng, i + 3))
+    float(metrics["loss"])                      # forces the chain
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    from bench import flagship_config
+    from hero_tpu.models import pretrain
+    from hero_tpu.training.step import TrainSpec, TrainState, \
+        make_train_step
+    from hero_tpu.utils.misc import enable_fast_rng
+    enable_fast_rng()
+    B = 32
+    r = np.random.RandomState(0)
+    videos = [sample_tv_video(r) for _ in range(B)]
+    cfg = flagship_config()
+    vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
+                             drop_svmr_prob=0.8)
+
+    def loss_fn(p, batch, rng_):
+        a, b, c = pretrain.forward_vsm(p, cfg, vsm, batch, rng=rng_,
+                                       train=True, dtype=jnp.bfloat16)
+        return a + b + c, {}
+
+    spec = TrainSpec(learning_rate=3e-5, warmup_steps=10000,
+                     num_train_steps=100000, grad_norm=2.0)
+    rng = jax.random.PRNGKey(1)
+    results = {}
+    for name, shape, packed in (("unpacked", TV_UNPACKED, False),
+                                ("packed", TV_PACKED, True)):
+        batch, drop = tv_vsm_batch(videos, shape, packed, seed=2)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0),
+                                                    cfg)
+        step = make_train_step(loss_fn, spec, donate=True)
+        state = TrainState.create(params)
+        sps = measure(step, state, jb, rng)
+        results[name] = {"examples_per_sec": round(sps * B, 2),
+                         "step_ms": round(1000.0 / sps, 2),
+                         "subs_dropped_frac": round(drop, 4)}
+        print(name, results[name], flush=True)
+        del state, step, jb
+
+    results["speedup"] = round(
+        results["packed"]["examples_per_sec"]
+        / results["unpacked"]["examples_per_sec"], 3)
+    results["buckets"] = {
+        "unpacked": {"n_rows": TV_UNPACKED.n_subs,
+                     "txt_len": TV_UNPACKED.txt_len,
+                     "fps": TV_UNPACKED.frames_per_sub},
+        "packed": {"n_rows": TV_PACKED.n_subs,
+                   "txt_len": TV_PACKED.txt_len,
+                   "fps": TV_PACKED.frames_per_sub}}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_PACKING.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

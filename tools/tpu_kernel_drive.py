@@ -77,6 +77,63 @@ def check_attention():
               f"dropout_det={det} mean_ratio={mean_ratio:.3f}", flush=True)
 
 
+def check_seg_attention():
+    """Seg-mask mode (sub packing): (B, L, S) segment one-hot instead of
+    the validity vector.  fp32 path vs the XLA reference lands ~1.5e-4
+    (MXU default-precision matmuls differ between the two programs);
+    bf16 uses the v1 tolerances."""
+    key = jax.random.PRNGKey(11)
+    B, L, D, H, S = 8, 224, 768, 12, 16
+    ids = np.full((B, L), -1, np.int32)
+    for b in range(B):
+        off = 0
+        for s in range(S):
+            n = 8 + (s * 7 + b) % 9
+            if off + n > L:
+                break
+            ids[b, off:off + n] = s
+            off += n
+    seg = jax.nn.one_hot(jnp.asarray(ids), S, dtype=jnp.bfloat16)
+    q = jax.random.normal(key, (B, L, D), jnp.bfloat16) / 8
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, L, D),
+                          jnp.bfloat16) / 8
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, L, D),
+                          jnp.bfloat16) / 8
+    o_r = packed_attention(q, k, v, H, seg, use_pallas=False)
+    o_p = packed_attention(q, k, v, H, seg, use_pallas=True)
+    valid = jnp.asarray((ids >= 0)[..., None])
+    err = float(jnp.max(jnp.abs(jnp.where(
+        valid, o_r.astype(jnp.float32) - o_p.astype(jnp.float32), 0.0))))
+    assert err < 0.05, err
+
+    def loss(qq, pallas):
+        o = packed_attention(qq, k, v, H, seg, use_pallas=pallas)
+        return jnp.sum(jnp.where(valid, o.astype(jnp.float32), 0.0) ** 2)
+
+    gr = jax.grad(lambda qq: loss(qq, False))(q)
+    gp = jax.grad(lambda qq: loss(qq, True))(q)
+    gerr = float(jnp.max(jnp.abs(gr.astype(jnp.float32)
+                                 - gp.astype(jnp.float32))))
+    assert gerr < 2.0, gerr
+
+    # dropout determinism + train-mode fwd+bwd lowering
+    dr = jax.random.PRNGKey(13)
+    o1 = packed_attention(q, k, v, H, seg, dropout_rate=0.1,
+                          dropout_rng=dr, use_pallas=True)
+    o2 = packed_attention(q, k, v, H, seg, dropout_rate=0.1,
+                          dropout_rng=dr, use_pallas=True)
+    det = float(jnp.max(jnp.abs(o1.astype(jnp.float32)
+                                - o2.astype(jnp.float32))))
+    assert det == 0.0, det
+    gd = jax.jit(jax.grad(lambda qq: jnp.sum(packed_attention(
+        qq, k, v, H, seg, dropout_rate=0.1, dropout_rng=dr,
+        use_pallas=True).astype(jnp.float32) ** 2)))(q)
+    gn = float(jnp.sum(jnp.abs(gd.astype(jnp.float32))))
+    assert np.isfinite(gn) and gn > 0, gn
+    print(f"seg attention L={L} S={S}: fwd_err={err:.5f} "
+          f"dq_err={gerr:.3f} dropout_det={det}", flush=True)
+
+
 def check_daln():
     N, D = 1024, 768
     w = jnp.ones((D,))
@@ -107,5 +164,6 @@ def check_daln():
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu", "run on the real TPU"
     check_attention()
+    check_seg_attention()
     check_daln()
     print("TPU KERNEL DRIVE PASSED", flush=True)
