@@ -129,6 +129,47 @@ def test_restore_resumes(env):
     assert int(state.global_step) == exp["num_train_steps"]
 
 
+def test_train_and_eval_vcmr_pack_subs(env, tmp_path_factory):
+    """--pack_subs through the downstream train AND serve paths: the
+    packed layout must survive the full round trip — train_vcmr (inline
+    full-corpus validation included), hps.json carrying pack_subs=True,
+    then the standalone eval driver reloading it and rebuilding the
+    PACKED video dataset for phase 1 (incl. the zero-pad dummy video in
+    the padded tail batch, whose all-zero seg ids are harmless: finite
+    activations, force-ranked below every real video)."""
+    root, cfg_path, exp = env
+    out = str(tmp_path_factory.mktemp("vcmr_pack")) + "/out"
+    cfg = dict(exp, output_dir=out, num_train_steps=6, valid_steps=6,
+               save_steps=3, gradient_accumulation_steps=1,
+               hard_negtiave_start_step=[3],
+               bucket_n_subs=2, bucket_txt_len=24,
+               bucket_frames_per_sub=16)
+    cfg_pack = os.path.join(os.path.dirname(out), "exp_pack.json")
+    with open(cfg_pack, "w") as f:
+        json.dump(cfg, f)
+    opts = opts_lib.get_vcmr_args(["--config", cfg_pack, "--pack_subs"])
+    assert opts.pack_subs
+
+    from hero_tpu.drivers import train_vcmr
+    train_vcmr.main(opts)
+    with open(os.path.join(out, "log", "hps.json")) as f:
+        assert json.load(f)["pack_subs"] is True
+    results = [f for f in os.listdir(out) if f.startswith("results_")]
+    assert results
+
+    from hero_tpu.drivers import eval_vcmr
+    ckpts = sorted(f for f in os.listdir(os.path.join(out, "ckpt")))
+    step = ckpts[-1].replace("model_step_", "").replace(".npz", "")
+    args = eval_vcmr.build_argparser().parse_args(
+        ["--output_dir", out, "--checkpoint", step,
+         "--query_txt_db", exp["val_query_txt_db"], "--split", "test"])
+    metrics, submission = eval_vcmr.main(args)
+    assert metrics and "VCMR" in metrics
+    assert all(np.isfinite(v) for v in metrics["VCMR"].values())
+    preds = submission["VCMR"][0]["predictions"]
+    assert preds and len(preds[0]) == 4
+
+
 def test_eval_vcmr_standalone(env):
     """Standalone serve-path inference reloading hps.json + ckpt."""
     root, cfg_path, exp = env
