@@ -183,6 +183,7 @@ class VideoQaDataset:
 
     def __init__(self, qids, video_db: VideoFeatSubTokDataset,
                  query_db: QueryTokStore, qa_len: int = 40):
+        _reject_packed(video_db, "VideoQA")
         self.video_db = video_db
         self.query_db = query_db
         self.qids = list(qids)
@@ -230,6 +231,23 @@ class VideoQaDataset:
         return item
 
 
+def _reject_packed(video_db: VideoFeatSubTokDataset, task: str) -> None:
+    """QA-style tasks append SHARED question/statement text to every sub
+    row (:func:`_append_txt_to_subs`) — incompatible with ``--pack_subs``:
+    appended tokens would carry segment id -1 (all-zero one-hot), so the
+    block-diagonal attention mask would silently make the question
+    INVISIBLE to every packed sub.  Refuse loudly instead; packing is
+    supported for pretrain, VCMR/VR, and TVC (which only add
+    clip/caption keys and never rewrite sub rows)."""
+    if getattr(video_db, "pack", False):
+        raise ValueError(
+            f"--pack_subs is not supported for {task}: the task appends "
+            "shared question/statement tokens to each sub row, which a "
+            "packed row's segment mask would hide. Train/eval this task "
+            "without --pack_subs (pretrain, VCMR/VR and TVC do support "
+            "packing).")
+
+
 def _append_txt_to_subs(base: Dict[str, np.ndarray], extra_ids: List[int],
                         sp: FixedShapes, pad: int) -> Dict[str, np.ndarray]:
     """Append query/statement tokens to every valid sub row's text
@@ -260,6 +278,7 @@ class ViolinDataset:
     def __init__(self, qids, video_db: VideoFeatSubTokDataset,
                  query_db: QueryTokStore, stmt_len: int = 40,
                  paired: bool = True):
+        _reject_packed(video_db, "VIOLIN")
         self.video_db = video_db
         self.query_db = query_db
         self.stmt_len = stmt_len

@@ -181,6 +181,27 @@ def test_violin_driver_and_eval(env):
     assert log["n_ex"] == 12 and "acc" in log
 
 
+def test_tvc_driver_pack_subs(env, tmp_path_factory):
+    """--pack_subs through TVC training + decode: TVC only ADDS
+    caption/clip keys to video items (never rewrites sub rows), so the
+    packed f-encoder layout must drive the captioning path end-to-end
+    (the decoder consumes frame-level outputs, which packing leaves
+    unchanged)."""
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("tvc_pack"))
+    cfg = dict(base, output_dir=os.path.join(root2, "tvc_pack_out"),
+               cap_db=corpus["cap"], task="tvc", lsr=0.1, max_gen_step=5,
+               bucket_n_subs=2, bucket_txt_len=32,
+               bucket_frames_per_sub=16)
+    path = _write_cfg(root2, "tvc_pack.json", cfg)
+    opts = opts_lib.get_tvc_args(["--config", path, "--pack_subs"])
+    from hero_tpu.drivers import train_tvc as drv
+    drv.main(opts)
+    gen = [f for f in os.listdir(cfg["output_dir"])
+           if f.startswith("tvc_gen_")]
+    assert gen
+
+
 def test_tvc_driver_and_inf(env):
     root, corpus, base = env
     cfg = dict(base, output_dir=os.path.join(root, "tvc_out"),

@@ -134,6 +134,23 @@ def test_forward_mlm_packed_equivalence(dbs):
     np.testing.assert_allclose(float(sa), float(sb), rtol=1e-4)
 
 
+def test_qa_tasks_refuse_packed_db(dbs, corpus):
+    """VideoQA/VIOLIN append shared question text per sub row — a packed
+    row's segment mask would silently hide it (appended slots carry seg
+    id -1), so the datasets must refuse a packed video_db loudly."""
+    from hero_tpu.data.downstream_tasks import (TvcTrainDataset,
+                                                VideoQaDataset,
+                                                ViolinDataset)
+    from hero_tpu.data.store import QueryTokStore
+    _, packed = dbs
+    qdb = QueryTokStore(corpus["query"])
+    with pytest.raises(ValueError, match="pack_subs"):
+        VideoQaDataset(list(qdb.id2len), packed, qdb)
+    with pytest.raises(ValueError, match="pack_subs"):
+        ViolinDataset(list(qdb.id2len), packed, qdb)
+    # TVC only adds caption/clip keys (never rewrites sub rows): allowed
+
+
 def test_forward_mfm_packed_equivalence(dbs):
     plain, packed = dbs
     cfg = tiny_hero_config()
