@@ -266,3 +266,58 @@ def tv_vsm_batch(videos, shape: BatchShape, packed: bool, seed: int = 0):
                 out["sub_mask"][b, s] = 1.0
                 f0 += fl
     return out, dropped / max(total, 1)
+
+
+def tv_task_batch(task: str, videos, shape: BatchShape, packed: bool,
+                  seed: int = 0, max_masked: Optional[int] = None):
+    """TV-distribution batch for any pretraining task, packed or
+    unpacked (tools/recipe_bench.py): the sub layout comes from
+    :func:`tv_vsm_batch` (same content in either layout), task extras
+    mirror the per-task batch builders above.
+
+    ``max_masked``: MLM slot cap per ROW — defaults to
+    ``mlm_row_cap(0.15, txt_len)``, which auto-scales with the packed
+    row's larger text budget.  Returns (batch, subs_dropped_frac).
+    """
+    b, dropped = tv_vsm_batch(videos, shape, packed, seed)
+    r = np.random.RandomState(seed + 7)
+    B, S, Lt, F = len(videos), shape.n_subs, shape.txt_len, shape.n_frames
+    if task == "vsm":
+        return b, dropped
+    if task.startswith("mlm"):
+        if max_masked is None:
+            from hero_tpu.data.pretrain_tasks import mlm_row_cap
+            max_masked = mlm_row_cap(0.15, Lt)
+        M = max_masked
+        mask_pos = np.zeros((B, S, M), np.int32)
+        labels = np.full((B, S, M), -1, np.int32)
+        for bi in range(B):
+            for si in range(S):
+                valid = np.where(b["sub_txt_mask"][bi, si] > 0)[0]
+                if not len(valid):
+                    continue
+                k = min(M, max(1, int(len(valid) * 0.15)))
+                picks = r.choice(valid, k, replace=False)
+                mask_pos[bi, si, :k] = picks
+                labels[bi, si, :k] = r.randint(3, shape.vocab_size, k)
+                b["sub_input_ids"][bi, si, picks] = 3  # [MASK]
+        b["mlm_mask_pos"] = mask_pos
+        b["mlm_labels"] = labels
+    elif task in ("mfm-nce", "mffr"):
+        m = (r.rand(B, F) < 0.15).astype(np.float32) * b["c_attn_masks"]
+        m[:, 0] = b["c_attn_masks"][:, 0]   # >=1 masked frame per video
+        b["c_v_masks"] = m
+    elif task == "fom":
+        orders = np.tile(np.arange(F, dtype=np.int32), (B, 1))
+        targets = np.full((B, F), -1, np.int32)
+        for bi in range(B):
+            nf = int(b["c_attn_masks"][bi].sum())
+            sel = r.choice(nf, max(1, int(nf * 0.15)), replace=False)
+            perm = r.permutation(sel)
+            orders[bi, sel] = perm
+            targets[bi, perm] = sel.astype(np.int32)
+        b["shuffled_orders"] = orders
+        b["fom_targets"] = targets
+    else:
+        raise ValueError(task)
+    return b, dropped

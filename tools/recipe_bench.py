@@ -80,7 +80,7 @@ def train_flops_per_example(task, s, cfg):
     return 3.0 * fwd_flops(task, s, cfg)
 
 
-def time_task(task, cfg, vsm, shape, n_steps=20):
+def time_task(task, cfg, vsm, shape, n_steps=20, batch_np=None):
     params = pretrain.init_hero_for_pretraining(jax.random.PRNGKey(0), cfg)
 
     if task == "vsm":
@@ -99,8 +99,9 @@ def time_task(task, cfg, vsm, shape, n_steps=20):
                      num_train_steps=100000, grad_norm=2.0)
     step = make_train_step(loss_fn, spec, donate=True)
     state = TrainState.create(params)
-    batch = {k: jnp.asarray(v)
-             for k, v in synthetic.task_batch(task, shape).items()}
+    if batch_np is None:
+        batch_np = synthetic.task_batch(task, shape)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     rng = jax.random.PRNGKey(1)
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
@@ -112,17 +113,32 @@ def time_task(task, cfg, vsm, shape, n_steps=20):
     return (time.perf_counter() - t0) / n_steps
 
 
-def main(write_artifact=True):
+def main(write_artifact=True, layout="packed"):
     enable_fast_rng()
     cfg = bench.flagship_config()
     vsm = pretrain.VsmConfig(lw_neg_ctx=8.0, lw_neg_q=8.0, lw_st_ed=0.01,
                              drop_svmr_prob=0.8)
+    # the analytic V100 baseline is ALWAYS priced at this unpacked bucket
+    # (what the reference stack executes) — layout-independent, same
+    # convention as bench.py's two denominators
     shape = synthetic.BatchShape(batch=32, n_subs=16, txt_len=40,
                                  frames_per_sub=16, n_frames=100,
                                  n_queries=2, query_len=30, max_masked=12)
+    # measured batches: real TV-distribution videos in the chosen layout
+    # (round 4: 'packed' = the production --pack_subs path)
+    import numpy as np
+
+    from hero_tpu.data.occupancy import sample_tv_video
+    r = np.random.RandomState(0)
+    m_shape = (synthetic.TV_PACKED if layout == "packed"
+               else synthetic.TV_UNPACKED)
+    videos = [sample_tv_video(r) for _ in range(m_shape.batch)]
     per_task = {}
     for task in RATIOS:
-        dt = time_task(task, cfg, vsm, shape)
+        batch_np, _ = synthetic.tv_task_batch(task, videos, m_shape,
+                                              packed=layout == "packed",
+                                              seed=2)
+        dt = time_task(task, cfg, vsm, shape, batch_np=batch_np)
         ex_s = shape.batch / dt
         v100 = V100_SUSTAINED / train_flops_per_example(task, shape, cfg)
         per_task[task] = {
@@ -146,6 +162,7 @@ def main(write_artifact=True):
         "value": round(weighted_ex_s, 2),
         "unit": "examples/s",
         "vs_baseline": round(weighted_ex_s / v100_cycle, 3),
+        "layout": layout,
         "ratios": RATIOS,
         "per_task": per_task,
     }
@@ -161,5 +178,9 @@ def main(write_artifact=True):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-artifact", action="store_true")
+    ap.add_argument("--layout", choices=("packed", "unpacked"),
+                    default="packed",
+                    help="measured data layout (baseline denominators "
+                         "are layout-independent)")
     a = ap.parse_args()
-    main(write_artifact=not a.no_artifact)
+    main(write_artifact=not a.no_artifact, layout=a.layout)
