@@ -79,6 +79,40 @@ def test_pipelined_encoder_no_mask_and_uneven_stack():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pipelined_encoder_packed_segment_mask():
+    """PP × --pack_subs: the pipeline's microbatch split reshapes the
+    mask rank-generically, so a packed batch's 3-D (N, L, S) segment
+    one-hot must ride through the ppermute schedule unchanged — pinned
+    exactly against the sequential scan with the same mask."""
+    cfg = _enc_cfg(layers=4)
+    params = transformer.init_encoder(jax.random.PRNGKey(5), cfg)
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randn(4, 12, 32), jnp.float32)
+    # 3 segments per row + invalid (-1) tail slots
+    ids = np.full((4, 12), -1, np.int32)
+    for b in range(4):
+        ids[b, 0:4] = 0
+        ids[b, 4:9] = 1
+        ids[b, 9:11] = 2
+    seg = jax.nn.one_hot(jnp.asarray(ids), 4, dtype=jnp.float32)
+
+    def loss(p, m):
+        return jnp.sum(transformer.encoder(p, x, m, cfg) ** 2)
+
+    ref, ref_grads = jax.value_and_grad(loss)(params, seg)
+    mesh = pp.get_pp_mesh(2, 2)
+    pp.enable_pipeline(mesh, n_microbatches=2)
+    try:
+        got, got_grads = jax.jit(jax.value_and_grad(loss))(params, seg)
+    finally:
+        pp.enable_pipeline(None)
+    assert float(got) == pytest.approx(float(ref), rel=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                atol=1e-5),
+        jax.device_get(got_grads), jax.device_get(ref_grads))
+
+
 def test_pipelined_encoder_train_mode_dropout():
     """train=True through the pipeline: per-layer keys fold in the
     microbatch index (a valid, different stream from the sequential

@@ -57,6 +57,14 @@ if SMOKE:
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
+# FLAGSHIP_PACK=1: run phases 1-4 (pretrain, train_vcmr, corpus eval,
+# TVC) in the production --pack_subs layout — the flagship-scale proof
+# that packed training carries the same learning signal.  Phases 5-6
+# (VideoQA/VIOLIN) always run unpacked: those tasks refuse packing by
+# design (data/downstream_tasks._reject_packed).
+PACK = bool(int(os.environ.get("FLAGSHIP_PACK", "0")))
+PACK_ARGS = ["--pack_subs"] if PACK else []
+
 N_VIDEOS, MAX_FRAMES, VDIM = (8, 16, 64) if SMOKE else (32, 32, 4352)
 HID, HEADS, INTER, NL_F, NL_C = ((32, 4, 64, 2, 1) if SMOKE
                                  else (768, 12, 3072, 6, 3))
@@ -119,7 +127,7 @@ cfg1 = write_cfg("pre.json", dict(
     valid_steps=10_000, save_steps=n_pre,
     task_ratios={"vsm": 2, "mlm": 1}))
 t0 = time.time()
-dp.main(opts_lib.get_pretrain_args(["--config", cfg1]))
+dp.main(opts_lib.get_pretrain_args(["--config", cfg1] + PACK_ARGS))
 timings["pretrain_s"] = round(time.time() - t0, 1)
 ckpts = sorted(glob.glob(os.path.join(out1, "ckpt", "model_step_*.npz")))
 assert ckpts, "no pretrain ckpt"
@@ -142,7 +150,7 @@ cfg2 = write_cfg("vcmr.json", dict(
 from hero_tpu.drivers import train_vcmr as dv
 
 t0 = time.time()
-dv.main(opts_lib.get_vcmr_args(["--config", cfg2]))
+dv.main(opts_lib.get_vcmr_args(["--config", cfg2] + PACK_ARGS))
 timings["train_vcmr_s"] = round(time.time() - t0, 1)
 print(time.strftime("%H:%M:%S"),
       f"[OK] flagship train_vcmr {n_ft} steps in "
@@ -181,7 +189,7 @@ from hero_tpu.drivers import inf_tvc
 from hero_tpu.drivers import train_tvc as dt
 
 t0 = time.time()
-dt.main(opts_lib.get_tvc_args(["--config", cfg3]))
+dt.main(opts_lib.get_tvc_args(["--config", cfg3] + PACK_ARGS))
 timings["train_tvc_s"] = round(time.time() - t0, 1)
 print(time.strftime("%H:%M:%S"),
       f"[OK] flagship train_tvc 20 steps in {timings['train_tvc_s']}s",
@@ -254,7 +262,8 @@ timings["pretrain_steps_per_s"] = round(
     n_pre / timings["pretrain_s"], 3)
 summary = dict(timings, vr_r1_pct=vr_r1, vcmr_r1_pct=vcmr_r1,
                chance_pct=round(chance, 2), n_videos=N_VIDEOS,
-               videoqa_acc=qa_log["acc"], violin_acc=vl_log["acc"])
+               videoqa_acc=qa_log["acc"], violin_acc=vl_log["acc"],
+               layout="packed (phases 1-4)" if PACK else "unpacked")
 print("FLAGSHIP DRIVE PASSED", json.dumps(summary), flush=True)
 with open(os.path.join(root, "summary.json"), "w") as f:
     json.dump(summary, f, indent=2)
