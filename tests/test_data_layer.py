@@ -337,6 +337,43 @@ def test_pretrain_second_bucket_partition(corpus):
     assert item["sub_input_ids"].shape[0] == big_ds.video_db.shapes.n_subs
 
 
+def test_pack_subs_with_second_bucket(corpus):
+    """--pack_subs × --second_bucket: the fit test runs the actual
+    packer, videos the packed bucket cannot hold route to the (always
+    UNPACKED) overflow bucket, and the partition is exact — packed items
+    carry segment keys, overflow items do not, nothing is dropped."""
+    from types import SimpleNamespace
+
+    from hero_tpu.data.store import SubTokStore, VideoFeatStore
+    from hero_tpu.data.video import VideoFeatSubTokDataset, video_fits_bucket
+    from hero_tpu.drivers.pretrain import build_task_datasets
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    # one packed row with a tight text budget: some videos won't pack
+    tiny = SHAPES.replace(n_subs=1, txt_len=24)
+    db = VideoFeatSubTokDataset(sub, vfeat, tiny, max_txt_len=20,
+                                sub_ctx_len=1, pack=True)
+    assert db.pack
+    fits = {v: video_fits_bucket(db, v) for v in db.vids}
+    assert any(fits.values()) and not all(fits.values()), fits
+
+    opts = SimpleNamespace(second_bucket=True, seed=0, query_per_video=2,
+                           task_ratios={"mlm": 2, "vsm": 1})
+    tasks = build_task_datasets(opts, {"": db})
+    small_ds, _ = tasks["mlm"]
+    big_ds, _ = tasks["mlm@#big"]
+    assert set(small_ds.ids) == {v for v, ok in fits.items() if ok}
+    assert set(big_ds.ids) == {v for v, ok in fits.items() if not ok}
+    # packed primary items carry the segment keys; overflow is unpacked
+    assert small_ds.video_db.pack and not big_ds.video_db.pack
+    assert "sub_txt_seg" in small_ds.video_db.video_item(small_ds.ids[0])
+    big_item = big_ds.video_db.video_item(big_ds.ids[0])
+    assert "sub_txt_seg" not in big_item
+    # the overflow bucket really holds its videos (no truncation)
+    for v in big_ds.ids:
+        assert video_fits_bucket(big_ds.video_db, v), v
+
+
 def test_meta_loader_resume_schedule(video_db):
     """Interrupted-vs-uninterrupted equivalence: a MetaLoader fast-forwarded
     past N micro-batches continues with the exact same task AND batch

@@ -129,6 +129,25 @@ def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64,
     float(jnp.sum(jb2["c_v_feats"][0, 0, :8]))
     t_upload = time.perf_counter() - t0
 
+    # phase 1 in the production --pack_subs layout (round 4): same
+    # TV-distribution content, several subs per f-encoder row — measures
+    # the corpus-INDEXING side of the packing claw-back
+    from hero_tpu.data.occupancy import sample_tv_video
+    rp = np.random.RandomState(3)
+    import dataclasses as _dc
+    p_shape = _dc.replace(synthetic.TV_PACKED, batch=video_bs, n_queries=1)
+    p_batch, _ = synthetic.tv_vsm_batch(
+        [sample_tv_video(rp) for _ in range(video_bs)], p_shape,
+        packed=True, seed=3)
+    jbp = {k: jax.device_put(jnp.asarray(v)) for k, v in p_batch.items()
+           if k.startswith(("sub_", "c_"))}
+    float(jnp.sum(encode(params_dev, jbp)[0, 0]))   # compile
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        ep = encode(params_dev, jbp)
+    float(jnp.sum(ep[0, 0]))
+    t_embed_packed = time.perf_counter() - t0
+
     frame_embs, frame_masks = embed_video_corpus(
         params, cfg, video_batches(n_videos), opts.max_clip_len,
         jnp.bfloat16)
@@ -148,12 +167,14 @@ def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64,
     t_score = time.perf_counter() - t0
 
     videos_per_s = n_rep * video_bs / t_embed
+    videos_per_s_packed = n_rep * video_bs / t_embed_packed
     queries_per_s = n_queries / t_score
     v100_qps = v100_phase2_queries_per_sec(n_videos, query_bs,
                                            max_v=max_v)
     v100_vps = v100_phase1_videos_per_sec(shape, cfg)
     print(f"# phase1: {videos_per_s:.1f} videos/s device-resident "
-          f"(analytic V100: {v100_vps:.1f}); tunnel upload "
+          f"({videos_per_s_packed:.1f} with --pack_subs; analytic V100: "
+          f"{v100_vps:.1f}); tunnel upload "
           f"{t_upload*1e3:.0f} ms/batch of {video_bs}",
           file=sys.stderr, flush=True)
     print(f"# phase2: {queries_per_s:.1f} queries/s against {n_videos} "
@@ -166,7 +187,10 @@ def main(n_videos=2000, video_bs=50, n_queries=512, query_bs=64,
         "vs_baseline": round(queries_per_s / v100_qps, 3),
         "corpus_videos": n_videos,
         "phase1_videos_per_sec": round(videos_per_s, 1),
+        "phase1_videos_per_sec_packed": round(videos_per_s_packed, 1),
         "phase1_vs_baseline": round(videos_per_s / v100_vps, 3),
+        "phase1_packed_vs_baseline": round(
+            videos_per_s_packed / v100_vps, 3),
         "phase1_tunnel_upload_ms_per_batch": round(t_upload * 1e3, 1),
     }
     print(json.dumps(result))
