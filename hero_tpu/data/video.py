@@ -95,6 +95,72 @@ def suggest_shapes(sub_store: SubTokStore, coverage: float = 0.99,
         n_frames=max(base.n_frames, dim(st["frames_per_video"], 8)))
 
 
+def suggest_packed_shapes(sub_store: SubTokStore, coverage: float = 0.99,
+                          max_txt_len: int = 60, sub_ctx_len: int = 0,
+                          base: Optional[FixedShapes] = None,
+                          max_rows: int = 32) -> "FixedShapes":
+    """A PACKED bucket (``--pack_subs`` row capacities) sized from the
+    corpus: the cheapest (n_rows, txt_len, frames_per_sub) — by row-slot
+    area, the f-encoder cost at these lengths — for which ≥``coverage``
+    of videos pack with zero drops under the ACTUAL first-fit packer
+    (hero_tpu/data/packing.py).  Candidate text budgets are multiples of
+    the per-sub p-quantile row length (a row must hold the longest sub it
+    packs); frame budgets are the per-sub quantile and its double.  Dims
+    rounded to multiples of 8 for TPU lane alignment, like
+    :func:`suggest_shapes`."""
+    from hero_tpu.data.packing import pack_subs
+    base = base or FixedShapes()
+    sidecar = getattr(sub_store, "vid2sub_lens", None)
+    per_video = []
+    frames_pv = []
+    all_toks, all_fs = [], []
+    for vid, sub2frames in sub_store.vid_sub2frame.items():
+        lens = _sub_row_lens(sub_store, sidecar, vid, max_txt_len)
+        rows = []
+        for sub_idx, frames in sub2frames:
+            n = 1 + sum(lens[t]
+                        for t in range(sub_idx - sub_ctx_len, sub_idx + 1)
+                        if 0 <= t < len(lens))
+            rows.append((n, len(frames)))
+            all_toks.append(n)
+            all_fs.append(len(frames))
+        per_video.append(rows)
+        frames_pv.append(sub_store.id2len.get(vid, 0))
+    if not per_video:
+        return base
+    q = 100.0 * coverage
+
+    def dim(arr, lo):
+        v = int(np.ceil(np.percentile(arr, q))) if len(arr) else lo
+        return max(lo, -(-v // 8) * 8)
+
+    t_min = dim(all_toks, 16)
+    fs_min = dim(all_fs, 8)
+    target = coverage * len(per_video)
+    best = None                       # (cost, n_rows, txt, fs)
+    for fs in (fs_min, 2 * fs_min):
+        for t_mult in (1, 2, 3, 4):
+            txt = t_min * t_mult
+            for n_rows in range(1, max_rows + 1):
+                fit = sum(
+                    all(p is not None
+                        for p in pack_subs(rows, n_rows, txt, fs))
+                    for rows in per_video)
+                if fit >= target:
+                    cost = n_rows * (txt + fs)
+                    if best is None or cost < best[0]:
+                        best = (cost, n_rows, txt, fs)
+                    break
+    if best is None:                  # nothing reaches coverage: fall
+        return suggest_shapes(        # back to the unpacked suggestion
+            sub_store, coverage=coverage, max_txt_len=max_txt_len,
+            sub_ctx_len=sub_ctx_len, base=base)
+    _, n_rows, txt, fs = best
+    return base.replace(
+        n_subs=n_rows, txt_len=txt, frames_per_sub=fs,
+        n_frames=max(base.n_frames, dim(frames_pv, 8)))
+
+
 def _sub_row_lens(sub_store, sidecar, vid: str,
                   max_txt_len: int) -> List[int]:
     """Per-sub token lengths (clamped to max_txt_len) — from the

@@ -134,6 +134,30 @@ def test_forward_mlm_packed_equivalence(dbs):
     np.testing.assert_allclose(float(sa), float(sb), rtol=1e-4)
 
 
+def test_suggest_packed_shapes(corpus):
+    """Occupancy-driven packed-bucket sizing: the suggested bucket must
+    (a) pack >= coverage of videos with zero drops under the real
+    dataset, and (b) cost fewer row slots than the unpacked suggestion
+    at the same coverage (the point of packing)."""
+    from hero_tpu.data.video import (suggest_packed_shapes,
+                                     suggest_shapes, video_fits_bucket)
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    base = UNPACKED.replace(n_frames=MAX_FRAMES)
+    packed_sp = suggest_packed_shapes(sub, coverage=1.0, max_txt_len=8,
+                                      base=base)
+    unpacked_sp = suggest_shapes(sub, coverage=1.0, max_txt_len=8,
+                                 base=base)
+    db = VideoFeatSubTokDataset(sub, vfeat, packed_sp, max_txt_len=8,
+                                pack=True)
+    for vid in db.vids:
+        assert video_fits_bucket(db, vid), (vid, packed_sp)
+        db.video_item(vid)
+    assert db.truncation_report()["subs_dropped"] == 0
+    cost = lambda sp: sp.n_subs * (sp.txt_len + sp.frames_per_sub)
+    assert cost(packed_sp) <= cost(unpacked_sp), (packed_sp, unpacked_sp)
+
+
 def test_qa_tasks_refuse_packed_db(dbs, corpus):
     """VideoQA/VIOLIN append shared question text per sub row — a packed
     row's segment mask would silently hide it (appended slots carry seg
