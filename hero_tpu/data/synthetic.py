@@ -170,8 +170,13 @@ def task_batch(task: str, shape: BatchShape,
 # TV-distribution VSM batches, packed or unpacked (bench.py,
 # tools/packing_bench.py) — real per-video shapes from
 # hero_tpu.data.occupancy.sample_tv_video laid out into either bucket so
-# the two layouts carry IDENTICAL content and the packed/unpacked
-# throughput ratio is measured on the same examples.
+# the two layouts carry the SAME examples and the packed/unpacked
+# throughput ratio is measured on matched content.  One asymmetry: the
+# unpacked layout clamps each sub to its per-row budgets (min(tl, Lt),
+# min(fl, Fs)) exactly as the reference's fixed bucket would, while the
+# packed layout keeps full subs in its larger rows — subs longer than the
+# unpacked text budget carry slightly fewer tokens there.  FLOPs are
+# shape-fixed in both layouts, so throughput numbers are unaffected.
 # ---------------------------------------------------------------------------
 
 TV_UNPACKED = BatchShape(batch=32, n_subs=16, txt_len=40,
@@ -207,7 +212,9 @@ def _tv_common(r, B, shape: BatchShape):
 def tv_vsm_batch(videos, shape: BatchShape, packed: bool, seed: int = 0):
     """VSM batch holding ``videos`` (occupancy.VideoShape list) in the
     unpacked (one sub per row) or packed (first-fit, segment ids) layout.
-    Returns (batch dict, fraction of subs dropped)."""
+    Returns (batch dict, fraction of subs dropped).  The unpacked branch
+    clamps each kept sub to (txt_len, frames_per_sub) without counting
+    the clipped tokens — see the layout note above."""
     r = np.random.RandomState(seed)
     B, S, Lt, Fs = (len(videos), shape.n_subs, shape.txt_len,
                     shape.frames_per_sub)

@@ -64,14 +64,24 @@ def load_video_sub_dataset(opts, shapes: FixedShapes
 def load_video_only_dataset(opts, shapes: FixedShapes):
     """Video-only corpora (reference load_video_only_dataset,
     load_data.py:47-54): no subtitle db — a [CLS] pseudo-sub spans the
-    clip, so shapes must allow frames_per_sub >= n_frames."""
+    clip, so shapes must allow frames_per_sub >= n_frames.
+
+    Special-token ids come from the QUERY db's ``meta.json``, exactly as
+    the reference does (train_vcmr.py:68-72 loads
+    ``train_query_txt_db/meta.json`` as txt_meta) — RoBERTa values are
+    only the fallback for meta-less dbs."""
+    from hero_tpu.data.store import _load_json
     from hero_tpu.data.video import VideoOnlyDataset
 
+    meta_db = (getattr(opts, "train_query_txt_db", None)
+               or getattr(opts, "val_query_txt_db", None))
+    meta = _load_json(meta_db, "meta.json", {}) if meta_db else {}
+
     class _MetaTxt:
-        cls_ = 0
-        sep = 2
-        pad = 1
-        mask = 50264
+        cls_ = meta.get("CLS", 0)
+        sep = meta.get("SEP", 2)
+        pad = meta.get("PAD", 1)
+        mask = meta.get("MASK", 50264)
         id2len = {}
 
     vfeat = VideoFeatStore(opts.vfeat_db,

@@ -16,9 +16,6 @@ import os
 import jax
 
 from hero_tpu.data.store import QueryTokStore
-
-# swapped by drivers/eval_vr.py for MSR-VTT (reference eval_vr.py:69)
-QUERY_STORE_CLS = QueryTokStore
 from hero_tpu.drivers import common
 from hero_tpu.drivers.train_vcmr import build_eval_inputs
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
@@ -41,12 +38,17 @@ def resolve_checkpoint(output_dir: str, checkpoint: str) -> str:
                         f"model_step_{checkpoint}.npz")
 
 
-def main(args):
+def main(args, *, query_store_cls=QueryTokStore, full_eval_tasks=None):
+    """``query_store_cls``/``full_eval_tasks`` parameterize the VR-only
+    variant (reference eval_vr.py restricts the pipeline to VR with
+    MsrvttQueryTokLmdb, eval_vr.py:69) without monkey-patching."""
     from hero_tpu.parallel.mesh import init_distributed
     init_distributed()
     opts = load_serve_opts(args.output_dir)
     if args.nms_thd is not None:
         opts.nms_thd = args.nms_thd
+    if full_eval_tasks is not None:
+        opts.full_eval_tasks = list(full_eval_tasks)
     cfg = common.model_config_from_opts(opts)
     vsm = common.vsm_config_from_opts(opts)
     params = pretrain_lib.init_hero_for_pretraining(
@@ -58,7 +60,7 @@ def main(args):
     shapes = common.shapes_from_opts(opts).replace(n_queries=1)
     video_db = common.load_video_sub_dataset(opts, shapes)
     qdb_path = args.query_txt_db or getattr(opts, "val_query_txt_db")
-    query_db = QUERY_STORE_CLS(qdb_path, max_txt_len=opts.max_txt_len)
+    query_db = query_store_cls(qdb_path, max_txt_len=opts.max_txt_len)
 
     vb, qb, video_ids, v2i, qdata = build_eval_inputs(video_db, query_db,
                                                       opts)

@@ -1,5 +1,6 @@
 """Standalone VR-only inference (reference ``eval_vr.py``): the VCMR
-pipeline restricted to the VR task."""
+pipeline restricted to the VR task with MSR-VTT query keys
+(reference eval_vr.py:69)."""
 
 from __future__ import annotations
 
@@ -9,23 +10,9 @@ from hero_tpu.drivers import eval_vcmr
 def main(args):
     from hero_tpu.parallel.mesh import init_distributed
     init_distributed()
-    from hero_tpu.drivers.common import eval_opts_from
-    orig = eval_opts_from
-
-    def vr_opts(opts):
-        import dataclasses
-        return dataclasses.replace(orig(opts), full_eval_tasks=("VR",))
-
-    import hero_tpu.drivers.common as common_mod
     from hero_tpu.data.store import MsrvttQueryTokStore
-    common_mod.eval_opts_from = vr_opts
-    orig_store = eval_vcmr.QUERY_STORE_CLS
-    eval_vcmr.QUERY_STORE_CLS = MsrvttQueryTokStore
-    try:
-        return eval_vcmr.main(args)
-    finally:
-        common_mod.eval_opts_from = orig
-        eval_vcmr.QUERY_STORE_CLS = orig_store
+    return eval_vcmr.main(args, query_store_cls=MsrvttQueryTokStore,
+                          full_eval_tasks=("VR",))
 
 
 if __name__ == "__main__":

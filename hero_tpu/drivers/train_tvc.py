@@ -27,7 +27,7 @@ from hero_tpu.training.save import (AsyncCheckpointWriter,
 from hero_tpu.training.step import (TrainSpec, TrainState,
                                     make_sharded_train_step, shard_state)
 from hero_tpu.utils.logger import LOGGER, add_log_to_file
-from hero_tpu.utils.misc import set_random_seed
+from hero_tpu.utils.misc import params_to_device, set_random_seed
 
 
 def main(opts):

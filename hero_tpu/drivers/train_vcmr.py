@@ -21,10 +21,6 @@ from hero_tpu.data.downstream_tasks import (VcmrDataset,
                                             build_batch)
 from hero_tpu.data.loader import dataset_iterator
 from hero_tpu.data.store import QueryTokStore
-
-# swapped to MsrvttQueryTokStore by drivers/train_vr.py (reference train_vr
-# uses MsrvttQueryTokLmdb, data/vr.py:50-61)
-QUERY_STORE_CLS = QueryTokStore
 from hero_tpu.data.video import stack_items
 from hero_tpu.drivers import common
 from hero_tpu.evaluation.vcmr_eval import validate_full_vcmr
@@ -86,7 +82,11 @@ def build_eval_inputs(video_db, query_db, opts):
             query_db.query_data)
 
 
-def main(opts):
+def main(opts, *, dataset_cls=VcmrDataset, query_store_cls=QueryTokStore):
+    """``dataset_cls``/``query_store_cls`` parameterize the VR variant
+    (reference train_vr.py = train_vcmr minus span, with
+    MsrvttQueryTokLmdb — data/vr.py:50-61) without mutating module
+    globals; drivers/train_vr.py passes VrDataset/MsrvttQueryTokStore."""
     from hero_tpu.parallel.mesh import init_distributed
     init_distributed()
     set_random_seed(opts.seed)
@@ -107,9 +107,9 @@ def main(opts):
     else:
         video_db = common.load_video_sub_dataset(opts, shapes)
         train_vids = list(video_db.txt_db.id2len.keys())
-    query_db = QUERY_STORE_CLS(opts.train_query_txt_db,
-                             max_txt_len=opts.max_txt_len)
-    train_ds = VcmrDataset(train_vids, video_db,
+    query_db = query_store_cls(opts.train_query_txt_db,
+                               max_txt_len=opts.max_txt_len)
+    train_ds = dataset_cls(train_vids, video_db,
                            query_db, sampled_by_q=True, seed=opts.seed)
     LOGGER.info("train: %d queries over %d videos", len(train_ds),
                 len(video_db))
@@ -175,7 +175,8 @@ def main(opts):
     def validate(state, step):
         # every process enters validation (host_allgather inside merges
         # per-process query shards); writes are rank-0-gated inside
-        run_validation(state, cfg, vsm, video_db, opts, step)
+        run_validation(state, cfg, vsm, video_db, opts, step,
+                       query_store_cls=query_store_cls)
 
     # the shared loop brings the SIGTERM preemption hook, primary-gated
     # restore.npz writes, and the end-of-run validate/save dedup (the old
@@ -186,11 +187,12 @@ def main(opts):
                         saver=saver, restorer=restorer)
 
 
-def run_validation(state, cfg, vsm, video_db, opts, step):
+def run_validation(state, cfg, vsm, video_db, opts, step, *,
+                   query_store_cls=QueryTokStore):
     if not getattr(opts, "val_query_txt_db", None):
         return
-    val_qdb = QUERY_STORE_CLS(opts.val_query_txt_db,
-                            max_txt_len=opts.max_txt_len)
+    val_qdb = query_store_cls(opts.val_query_txt_db,
+                              max_txt_len=opts.max_txt_len)
     (vb, qb, video_ids, v2i_global, qdata) = build_eval_inputs(
         video_db, val_qdb, opts)
     # params stay ON DEVICE (validate_full_vcmr's device_put is then a

@@ -1,6 +1,7 @@
 """MSR-VTT video-retrieval finetuning (reference ``train_vr.py``):
 VCMR minus span supervision — asserts lw_st_ed == 0 and uses VrDataset
-(targets fixed at -1)."""
+(targets fixed at -1) plus MsrvttQueryTokLmdb-style query keys
+(reference train_vr.py:78-114, data/vr.py:50-61)."""
 
 from __future__ import annotations
 
@@ -14,20 +15,10 @@ def main(opts):
     assert getattr(opts, "lw_st_ed", 0) == 0, "For VR, lw_st_ed must be 0"
     opts.lw_st_ed = 0.0
     opts.drop_svmr_prob = 1.0
-    # swap the dataset + query-store classes used by the vcmr driver
-    # (reference train_vr.py:78-114 uses MsrvttQueryTokLmdb, whose
-    # query_data is keyed by sen_id/retrieval_key — data/vr.py:50-61)
     import hero_tpu.data.downstream_tasks as dt
     from hero_tpu.data.store import MsrvttQueryTokStore
-    orig = train_vcmr.VcmrDataset
-    orig_store = train_vcmr.QUERY_STORE_CLS
-    train_vcmr.VcmrDataset = dt.VrDataset
-    train_vcmr.QUERY_STORE_CLS = MsrvttQueryTokStore
-    try:
-        train_vcmr.main(opts)
-    finally:
-        train_vcmr.VcmrDataset = orig
-        train_vcmr.QUERY_STORE_CLS = orig_store
+    train_vcmr.main(opts, dataset_cls=dt.VrDataset,
+                    query_store_cls=MsrvttQueryTokStore)
 
 
 if __name__ == "__main__":

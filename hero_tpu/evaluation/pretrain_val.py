@@ -37,7 +37,22 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         return {k: jnp.asarray(v) for k, v in items.items()}
     from jax.sharding import NamedSharding, PartitionSpec
 
-    from hero_tpu.parallel.mesh import get_mesh
+    from hero_tpu.parallel.mesh import get_mesh, host_allgather
+    # The identical-stream contract above is load-bearing: replicating a
+    # process-LOCAL batch as a global array silently corrupts metrics if
+    # any process drifts.  Enforce it cheaply with a host checksum
+    # (shapes + fp64 content sums) compared across processes.
+    import zlib
+    local = np.float64(0.0)
+    for k in sorted(items):
+        a = np.asarray(items[k])
+        local += zlib.crc32(f"{k}:{a.shape}".encode()) % (1 << 20)
+        local += float(np.asarray(a, np.float64).sum())
+    sums = host_allgather(float(local))
+    assert all(abs(s - sums[0]) <= 1e-6 * max(1.0, abs(sums[0]))
+               for s in sums), (
+        "pretrain validation batch streams diverged across processes "
+        f"(checksums {sums}); the common-data contract is broken")
     sh = NamedSharding(get_mesh(), PartitionSpec())
     return {k: jax.device_put(np.asarray(v), sh) for k, v in items.items()}
 

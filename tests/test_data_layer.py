@@ -1,5 +1,7 @@
 """Data layer end-to-end: synthetic corpus → stores → datasets → model."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -417,6 +419,39 @@ def test_load_data_facade(corpus):
     assert len(qa) == 6
     vl = ld.build_downstream_dataset("violin", db, corpus["violin_query"])
     assert len(vl) == 6
+
+
+def test_video_only_specials_from_query_meta(corpus, tmp_path):
+    """drivers.common.load_video_only_dataset must read special-token ids
+    from the query db's meta.json (reference train_vcmr.py:68-72 loads
+    train_query_txt_db/meta.json as txt_meta) — not hardcode RoBERTa's.
+    Pinned with a non-RoBERTa tokenizer meta."""
+    import json as _json
+    import shutil
+
+    from hero_tpu.drivers import common
+    from hero_tpu.utils.misc import Struct
+
+    qdb2 = str(tmp_path / "query_db")
+    shutil.copytree(corpus["query"], qdb2)
+    with open(os.path.join(qdb2, "meta.json"), "w") as f:
+        _json.dump({"CLS": 101, "SEP": 102, "PAD": 0, "MASK": 103}, f)
+    opts = Struct({"vfeat_db": corpus["vfeat"], "vfeat_interval": 1.5,
+                   "max_clip_len": MAX_FRAMES,
+                   "train_query_txt_db": qdb2})
+    shapes = SHAPES.replace(vfeat_dim=64)
+    ds = common.load_video_only_dataset(opts, shapes)
+    item = ds.video_item(corpus["vids"][0])
+    assert item["sub_input_ids"][0, 0] == 101      # CLS from meta.json
+    assert item["sub_input_ids"][0, 1] == 0        # PAD from meta.json
+
+    # meta-less query db → RoBERTa fallback (reference defaults)
+    opts2 = Struct({"vfeat_db": corpus["vfeat"], "vfeat_interval": 1.5,
+                    "max_clip_len": MAX_FRAMES,
+                    "train_query_txt_db": None})
+    ds2 = common.load_video_only_dataset(opts2, shapes)
+    item2 = ds2.video_item(corpus["vids"][0])
+    assert item2["sub_input_ids"][0, 0] == 0
 
 
 def test_prefetch_loader_reraises_worker_exception():

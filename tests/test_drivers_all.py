@@ -202,6 +202,29 @@ def test_tvc_driver_pack_subs(env, tmp_path_factory):
     assert gen
 
 
+def test_tvc_driver_caption_only_db(env, tmp_path_factory):
+    """Caption DB WITHOUT clip.db: validate() must take the token-level
+    generate_captions/score_token_captions branch (regression: the branch
+    referenced params_to_device without importing it → NameError at the
+    first validation step)."""
+    import shutil
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("tvc_noclip"))
+    cap2 = os.path.join(root2, "cap_db_root")
+    shutil.copytree(corpus["cap"], cap2,
+                    ignore=shutil.ignore_patterns("clip.db"))
+    assert not os.path.exists(os.path.join(cap2, "clip.db"))
+    cfg = dict(base, output_dir=os.path.join(root2, "tvc_noclip_out"),
+               cap_db=cap2, task="tvc", lsr=0.1, max_gen_step=5)
+    path = _write_cfg(root2, "tvc_noclip.json", cfg)
+    opts = opts_lib.get_tvc_args(["--config", path])
+    from hero_tpu.drivers import train_tvc as drv
+    drv.main(opts)
+    gen = [f for f in os.listdir(cfg["output_dir"])
+           if f.startswith("tvc_gen_")]
+    assert gen
+
+
 def test_tvc_driver_and_inf(env):
     root, corpus, base = env
     cfg = dict(base, output_dir=os.path.join(root, "tvc_out"),
