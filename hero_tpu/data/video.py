@@ -77,9 +77,13 @@ def scan_shape_stats(sub_store: SubTokStore, max_txt_len: int = 60,
 def suggest_shapes(sub_store: SubTokStore, coverage: float = 0.99,
                    max_txt_len: int = 60, sub_ctx_len: int = 0,
                    base: Optional[FixedShapes] = None,
-                   ) -> "FixedShapes":
+                   append_len: int = 0) -> "FixedShapes":
     """A bucket sized so ≥``coverage`` of each dimension fits untruncated
-    (dims rounded up to a multiple of 8 for TPU lane alignment)."""
+    (dims rounded up to a multiple of 8 for TPU lane alignment).
+
+    ``append_len``: extra per-row text budget for tasks that append
+    question/statement tokens to every sub row (VideoQA/VIOLIN —
+    ``video_item(append_ids=...)``)."""
     base = base or FixedShapes()
     st = scan_shape_stats(sub_store, max_txt_len, sub_ctx_len)
     q = 100.0 * coverage
@@ -90,7 +94,7 @@ def suggest_shapes(sub_store: SubTokStore, coverage: float = 0.99,
 
     return base.replace(
         n_subs=dim(st["subs_per_video"], 8),
-        txt_len=dim(st["tokens_per_row"], 16),
+        txt_len=dim(st["tokens_per_row"] + append_len, 16),
         frames_per_sub=dim(st["frames_per_sub"], 8),
         n_frames=max(base.n_frames, dim(st["frames_per_video"], 8)))
 
@@ -98,7 +102,8 @@ def suggest_shapes(sub_store: SubTokStore, coverage: float = 0.99,
 def suggest_packed_shapes(sub_store: SubTokStore, coverage: float = 0.99,
                           max_txt_len: int = 60, sub_ctx_len: int = 0,
                           base: Optional[FixedShapes] = None,
-                          max_rows: int = 32) -> "FixedShapes":
+                          max_rows: int = 32,
+                          append_len: int = 0) -> "FixedShapes":
     """A PACKED bucket (``--pack_subs`` row capacities) sized from the
     corpus: the cheapest (n_rows, txt_len, frames_per_sub) — by row-slot
     area, the f-encoder cost at these lengths — for which ≥``coverage``
@@ -107,7 +112,10 @@ def suggest_packed_shapes(sub_store: SubTokStore, coverage: float = 0.99,
     the per-sub p-quantile row length (a row must hold the longest sub it
     packs); frame budgets are the per-sub quantile and its double.  Dims
     rounded to multiples of 8 for TPU lane alignment, like
-    :func:`suggest_shapes`."""
+    :func:`suggest_shapes`.
+
+    ``append_len``: extra text per PACKED SEGMENT for tasks that append
+    question/statement tokens into every segment (VideoQA/VIOLIN)."""
     from hero_tpu.data.packing import pack_subs
     base = base or FixedShapes()
     sidecar = getattr(sub_store, "vid2sub_lens", None)
@@ -118,9 +126,10 @@ def suggest_packed_shapes(sub_store: SubTokStore, coverage: float = 0.99,
         lens = _sub_row_lens(sub_store, sidecar, vid, max_txt_len)
         rows = []
         for sub_idx, frames in sub2frames:
-            n = 1 + sum(lens[t]
-                        for t in range(sub_idx - sub_ctx_len, sub_idx + 1)
-                        if 0 <= t < len(lens))
+            n = append_len + 1 + sum(
+                lens[t]
+                for t in range(sub_idx - sub_ctx_len, sub_idx + 1)
+                if 0 <= t < len(lens))
             rows.append((n, len(frames)))
             all_toks.append(n)
             all_fs.append(len(frames))
@@ -154,7 +163,7 @@ def suggest_packed_shapes(sub_store: SubTokStore, coverage: float = 0.99,
     if best is None:                  # nothing reaches coverage: fall
         return suggest_shapes(        # back to the unpacked suggestion
             sub_store, coverage=coverage, max_txt_len=max_txt_len,
-            sub_ctx_len=sub_ctx_len, base=base)
+            sub_ctx_len=sub_ctx_len, base=base, append_len=append_len)
     _, n_rows, txt, fs = best
     return base.replace(
         n_subs=n_rows, txt_len=txt, frames_per_sub=fs,
@@ -266,8 +275,15 @@ class VideoFeatSubTokDataset:
 
     # -- fixed-shape struct -------------------------------------------------
     def video_item(self, vid: str,
-                   exclude_subs: Optional[Set[int]] = None
+                   exclude_subs: Optional[Set[int]] = None,
+                   append_ids: Optional[List[int]] = None
                    ) -> Dict[str, np.ndarray]:
+        """``append_ids``: extra token ids appended to EVERY sub's text
+        (VideoQA question+answer / VIOLIN statement — reference
+        videoQA.py:93-115, violin.py:69-85).  In pack mode each segment
+        gets its own copy, so the appended text stays visible to exactly
+        its own sub under the block-diagonal segment mask — the same
+        per-sub visibility as the reference's one-row-per-sub layout."""
         sp = self.shapes
         example = self.txt_db[vid]
         v_feat = self.img_db[vid]
@@ -306,11 +322,20 @@ class VideoFeatSubTokDataset:
 
         if self.pack:
             lost = self._fill_packed(out, example, sub2frames, num_subs,
-                                     nframes, exclude_subs) or lost
+                                     nframes, exclude_subs,
+                                     append_ids) or lost
         else:
             for row, (sub_idx, frames) in enumerate(sub2frames[:sp.n_subs]):
                 ids = self.sub_tokens(example, sub_idx, num_subs,
                                       exclude_subs)
+                if append_ids:
+                    # room-limited append, exactly the reference's
+                    # per-row truncation (videoQA.py:93-115)
+                    take = list(append_ids)[:sp.txt_len - len(ids)]
+                    if len(take) < len(append_ids):
+                        tc["txt_tokens_dropped"] += (len(append_ids)
+                                                     - len(take))
+                    ids = ids + take
                 out["sub_input_ids"][row, :len(ids)] = ids
                 out["sub_txt_mask"][row, :len(ids)] = 1.0
                 frames = [f for f in frames if f < nframes]
@@ -335,7 +360,7 @@ class VideoFeatSubTokDataset:
         return out
 
     def _fill_packed(self, out, example, sub2frames, num_subs, nframes,
-                     exclude_subs) -> bool:
+                     exclude_subs, append_ids=None) -> bool:
         """Packed fill (``pack=True``): several subs per row, first-fit.
 
         Adds the packed extras the model keys on (``sub_txt_seg`` /
@@ -352,6 +377,14 @@ class VideoFeatSubTokDataset:
         subs = []
         for sub_idx, frames in sub2frames:
             ids = self.sub_tokens(example, sub_idx, num_subs, exclude_subs)
+            if append_ids:
+                # per-SEGMENT copy of the appended text (QA/statement),
+                # truncated at the row budget like the unpacked append
+                ids = ids + list(append_ids)
+                if len(ids) > sp.txt_len:
+                    tc["txt_tokens_dropped"] += len(ids) - sp.txt_len
+                    lost = True
+                    ids = ids[:sp.txt_len]
             frames = [f for f in frames if f < nframes]
             if len(frames) > sp.frames_per_sub:
                 tc["frames_dropped"] += len(frames) - sp.frames_per_sub

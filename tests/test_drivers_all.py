@@ -164,6 +164,52 @@ def test_videoqa_driver_and_eval(env):
                                        "qa_results_4_all.json"))
 
 
+def test_videoqa_driver_pack_subs(env, tmp_path_factory):
+    """--pack_subs through VideoQA train + eval: QA tokens are replicated
+    into each packed segment (video_item append_ids), and the eval driver
+    reloads pack_subs from hps.json so serve batches match."""
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("qa_pack"))
+    cfg = dict(base, output_dir=os.path.join(root2, "qa_pack_out"),
+               train_query_txt_db=corpus["qa_query"],
+               val_query_txt_db=corpus["qa_query"],
+               num_answers=3, lw_st_ed=0.4, task="tvqa",
+               bucket_n_subs=2, bucket_txt_len=40,
+               bucket_frames_per_sub=16)
+    path = _write_cfg(root2, "qa_pack.json", cfg)
+    opts = opts_lib.get_videoqa_args(["--config", path, "--pack_subs"])
+    from hero_tpu.drivers import train_videoqa as drv
+    drv.main(opts)
+
+    from hero_tpu.drivers import eval_videoqa
+    args = eval_videoqa.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4"])
+    log, results = eval_videoqa.main(args)
+    assert log["n_ex"] == 6 and "acc" in log
+
+
+def test_violin_driver_pack_subs(env, tmp_path_factory):
+    """--pack_subs through VIOLIN train + eval (statement tokens
+    replicated per packed segment)."""
+    root, corpus, base = env
+    root2 = str(tmp_path_factory.mktemp("vl_pack"))
+    cfg = dict(base, output_dir=os.path.join(root2, "violin_pack_out"),
+               train_query_txt_db=corpus["violin_query"],
+               val_query_txt_db=corpus["violin_query"], task="violin",
+               bucket_n_subs=2, bucket_txt_len=40,
+               bucket_frames_per_sub=16)
+    path = _write_cfg(root2, "violin_pack.json", cfg)
+    opts = opts_lib.get_violin_args(["--config", path, "--pack_subs"])
+    from hero_tpu.drivers import train_violin as drv
+    drv.main(opts)
+
+    from hero_tpu.drivers import eval_violin
+    args = eval_violin.build_argparser().parse_args(
+        ["--output_dir", cfg["output_dir"], "--checkpoint", "4"])
+    log, results = eval_violin.main(args)
+    assert log["n_ex"] == 12 and "acc" in log
+
+
 def test_violin_driver_and_eval(env):
     root, corpus, base = env
     cfg = dict(base, output_dir=os.path.join(root, "violin_out"),

@@ -158,21 +158,159 @@ def test_suggest_packed_shapes(corpus):
     assert cost(packed_sp) <= cost(unpacked_sp), (packed_sp, unpacked_sp)
 
 
-def test_qa_tasks_refuse_packed_db(dbs, corpus):
-    """VideoQA/VIOLIN append shared question text per sub row — a packed
-    row's segment mask would silently hide it (appended slots carry seg
-    id -1), so the datasets must refuse a packed video_db loudly."""
-    from hero_tpu.data.downstream_tasks import (TvcTrainDataset,
-                                                VideoQaDataset,
-                                                ViolinDataset)
+def test_videoqa_packed_equivalence(dbs, corpus):
+    """Packed VideoQA replicates the ``[SEP] q [SEP] a`` tokens into each
+    packed segment (video_item append_ids), so every sub keeps its own
+    visible QA copy exactly like the reference's one-row-per-sub layout
+    (videoQA.py:93-115).  Forward losses, logits AND grads must match the
+    unpacked layout bit-for-tolerance."""
+    from hero_tpu.data.downstream_tasks import VideoQaDataset, build_batch
     from hero_tpu.data.store import QueryTokStore
+    from hero_tpu.models import videoqa
+    plain, packed = dbs
+    qdb = QueryTokStore(corpus["qa_query"])
+    qids = sorted(qdb.id2len.keys())[:3]
+    cfg = tiny_hero_config()
+    params = videoqa.init_hero_for_videoqa(jax.random.PRNGKey(4), cfg)
+
+    def qa_batch(db):
+        ds = VideoQaDataset(qids, db, qdb, qa_len=16)
+        b = build_batch(ds, list(range(len(qids))), flatten_rows=True)
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if not k.startswith("__")}
+    ba, bb = qa_batch(plain), qa_batch(packed)
+    # identical appended content in both layouts (multiset per question)
+    va = np.asarray(ba["sub_input_ids"])[np.asarray(ba["sub_txt_mask"]) > 0]
+    vb = np.asarray(bb["sub_input_ids"])[np.asarray(bb["sub_txt_mask"]) > 0]
+    assert sorted(va.tolist()) == sorted(vb.tolist())
+
+    def loss_fn(p, b):
+        qa_loss, t_loss = videoqa.forward_videoqa(p, cfg, b,
+                                                  num_answers=3)
+        return qa_loss + 0.4 * t_loss
+    la, lb = loss_fn(params, ba), loss_fn(params, bb)
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
+    logits_a = videoqa.forward_videoqa(params, cfg, ba, num_answers=3,
+                                       compute_loss=False)
+    logits_b = videoqa.forward_videoqa(params, cfg, bb, num_answers=3,
+                                       compute_loss=False)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               atol=3e-4, rtol=3e-4)
+    ga = jax.grad(loss_fn)(params, ba)
+    gb = jax.grad(loss_fn)(params, bb)
+    na = jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(ga)))
+    diff = jnp.sqrt(sum(jnp.sum((x - y) ** 2) for x, y in
+                        zip(jax.tree.leaves(ga), jax.tree.leaves(gb))))
+    assert float(diff) <= 2e-3 * max(float(na), 1e-6), (float(diff),
+                                                        float(na))
+
+
+def test_violin_packed_equivalence(dbs, corpus):
+    """Packed VIOLIN: statement tokens replicated per segment ≡ unpacked
+    per-row append (reference violin.py:69-85) — loss + grads pinned."""
+    from hero_tpu.data.downstream_tasks import ViolinDataset, build_batch
+    from hero_tpu.data.store import QueryTokStore
+    from hero_tpu.models import violin
+    plain, packed = dbs
+    qdb = QueryTokStore(corpus["violin_query"])
+    qids = [q for q in sorted(qdb.id2len) if q.endswith("_0")][:2]
+    cfg = tiny_hero_config()
+    params = violin.init_hero_for_violin(jax.random.PRNGKey(5), cfg)
+
+    def vl_batch(db):
+        ds = ViolinDataset(qids, db, qdb, stmt_len=16)
+        b = build_batch(ds, list(range(len(qids))), flatten_rows=True)
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if not k.startswith("__")}
+    ba, bb = vl_batch(plain), vl_batch(packed)
+    la = violin.forward_violin(params, cfg, ba)
+    lb = violin.forward_violin(params, cfg, bb)
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-4)
+    ga = jax.grad(lambda p: violin.forward_violin(p, cfg, ba))(params)
+    gb = jax.grad(lambda p: violin.forward_violin(p, cfg, bb))(params)
+    na = jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(ga)))
+    diff = jnp.sqrt(sum(jnp.sum((x - y) ** 2) for x, y in
+                        zip(jax.tree.leaves(ga), jax.tree.leaves(gb))))
+    assert float(diff) <= 2e-3 * max(float(na), 1e-6), (float(diff),
+                                                        float(na))
+
+
+def test_tvc_batch_keeps_packed_keys(dbs, corpus):
+    """build_tvc_batch must carry the packed seg/pos keys through to the
+    model — dropping them silently runs UNPACKED attention over packed
+    rows (cross-sub leakage; forward_repr keys on sub_txt_seg presence,
+    models/model.py:190)."""
+    from hero_tpu.data.downstream_tasks import (TvcCaptionStore,
+                                                TvcTrainDataset,
+                                                build_tvc_batch)
     _, packed = dbs
-    qdb = QueryTokStore(corpus["query"])
-    with pytest.raises(ValueError, match="pack_subs"):
-        VideoQaDataset(list(qdb.id2len), packed, qdb)
-    with pytest.raises(ValueError, match="pack_subs"):
-        ViolinDataset(list(qdb.id2len), packed, qdb)
-    # TVC only adds caption/clip keys (never rewrites sub rows): allowed
+    cap_db = TvcCaptionStore(corpus["cap"])
+    ds = TvcTrainDataset(packed, cap_db, caps_per_video=2, cap_len=12,
+                         seg_len=16)
+    b = build_tvc_batch(ds, [0, 1])
+    for k in ("sub_txt_seg", "sub_frame_seg", "sub_txt_pos",
+              "sub_frame_pos"):
+        assert k in b, k
+        assert b[k].shape[:1] == (2,)
+
+
+def test_suggest_downstream_lens(corpus):
+    """Occupancy-driven downstream budgets (qa/stmt/cap/seg/clips) are
+    corpus-derived like the pretrain bucket, and each suggested length
+    actually holds the coverage quantile of its unit."""
+    from hero_tpu.data.downstream_tasks import suggest_downstream_lens
+    from hero_tpu.data.store import HeroStore, _load_json
+
+    qa = suggest_downstream_lens("tvqa", corpus["qa_query"], coverage=1.0)
+    store = HeroStore(corpus["qa_query"])
+    units = []
+    for qid in _load_json(corpus["qa_query"], "id2len.json", {}):
+        ex = store[qid]
+        units.extend(2 + len(ex["input_ids"][0]) + len(a)
+                     for a in ex["input_ids"][1:])
+    assert qa["bucket_query_len"] >= max(units)
+    assert qa["bucket_query_len"] % 8 == 0
+
+    vl = suggest_downstream_lens("violin", corpus["violin_query"],
+                                 coverage=1.0)
+    vstore = HeroStore(corpus["violin_query"])
+    stmts = [1 + len(vstore[q]["input_ids"]) for q in
+             _load_json(corpus["violin_query"], "id2len.json", {})]
+    assert vl["bucket_query_len"] >= max(stmts)
+
+    tvc = suggest_downstream_lens("tvc", corpus["cap"], coverage=1.0,
+                                  frame_interval=1.5,
+                                  max_clip_len=MAX_FRAMES)
+    assert set(tvc) == {"bucket_cap_len", "bucket_seg_len",
+                        "clips_per_item"}
+    assert tvc["bucket_seg_len"] >= 1 and tvc["clips_per_item"] >= 1
+    # clips_per_item covers the densest video at coverage=1.0
+    vid2clips = _load_json(
+        __import__("os").path.join(corpus["cap"], "clip.db"),
+        "vid2clips.json", {})
+    assert tvc["clips_per_item"] >= max(len(c) for c in vid2clips.values())
+
+
+def test_suggest_packed_shapes_append_len(corpus):
+    """QA-style packing: append_len inflates every packed UNIT (each
+    segment carries its own QA copy), so the suggested packed bucket at
+    append_len=k must hold (sub+k)-sized units with zero drops."""
+    from hero_tpu.data.downstream_tasks import VideoQaDataset
+    from hero_tpu.data.store import QueryTokStore
+    from hero_tpu.data.video import suggest_packed_shapes
+    sub = SubTokStore(corpus["sub"], max_clip_len=MAX_FRAMES)
+    vfeat = VideoFeatStore(corpus["vfeat"], max_clip_len=MAX_FRAMES)
+    qdb = QueryTokStore(corpus["qa_query"])
+    k = 16
+    sp = suggest_packed_shapes(sub, coverage=1.0, max_txt_len=8,
+                               base=UNPACKED.replace(n_frames=MAX_FRAMES),
+                               append_len=k)
+    db = VideoFeatSubTokDataset(sub, vfeat, sp, max_txt_len=8, pack=True)
+    ds = VideoQaDataset(sorted(qdb.id2len)[:3], db, qdb, qa_len=k)
+    for i in range(len(ds)):
+        ds[i]
+    rep = db.truncation_report()
+    assert rep["subs_dropped"] == 0 and rep["txt_tokens_dropped"] == 0, rep
 
 
 def test_forward_mfm_packed_equivalence(dbs):

@@ -57,11 +57,11 @@ if SMOKE:
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8").strip()
     jax.config.update("jax_platforms", "cpu")
-# FLAGSHIP_PACK=1: run phases 1-4 (pretrain, train_vcmr, corpus eval,
-# TVC) in the production --pack_subs layout — the flagship-scale proof
-# that packed training carries the same learning signal.  Phases 5-6
-# (VideoQA/VIOLIN) always run unpacked: those tasks refuse packing by
-# design (data/downstream_tasks._reject_packed).
+# FLAGSHIP_PACK=1: run ALL phases (pretrain, train_vcmr, corpus eval,
+# TVC, VideoQA, VIOLIN) in the production --pack_subs layout — the
+# flagship-scale proof that packed training carries the same learning
+# signal.  QA/VIOLIN replicate their question/statement tokens into each
+# packed segment (video.video_item append_ids).
 PACK = bool(int(os.environ.get("FLAGSHIP_PACK", "0")))
 PACK_ARGS = ["--pack_subs"] if PACK else []
 
@@ -223,7 +223,7 @@ from hero_tpu.drivers import eval_videoqa
 from hero_tpu.drivers import train_videoqa as dq
 
 t0 = time.time()
-dq.main(opts_lib.get_videoqa_args(["--config", cfg4]))
+dq.main(opts_lib.get_videoqa_args(["--config", cfg4] + PACK_ARGS))
 a = eval_videoqa.build_argparser().parse_args(
     ["--output_dir", out4, "--checkpoint", str(n_qa)])
 qa_log, _ = eval_videoqa.main(a)
@@ -247,7 +247,7 @@ from hero_tpu.drivers import eval_violin
 from hero_tpu.drivers import train_violin as dl
 
 t0 = time.time()
-dl.main(opts_lib.get_violin_args(["--config", cfg5]))
+dl.main(opts_lib.get_violin_args(["--config", cfg5] + PACK_ARGS))
 a = eval_violin.build_argparser().parse_args(
     ["--output_dir", out5, "--checkpoint", str(n_vl)])
 vl_log, _ = eval_violin.main(a)
@@ -263,7 +263,7 @@ timings["pretrain_steps_per_s"] = round(
 summary = dict(timings, vr_r1_pct=vr_r1, vcmr_r1_pct=vcmr_r1,
                chance_pct=round(chance, 2), n_videos=N_VIDEOS,
                videoqa_acc=qa_log["acc"], violin_acc=vl_log["acc"],
-               layout="packed (phases 1-4)" if PACK else "unpacked")
+               layout="packed (all phases)" if PACK else "unpacked")
 print("FLAGSHIP DRIVE PASSED", json.dumps(summary), flush=True)
 with open(os.path.join(root, "summary.json"), "w") as f:
     json.dump(summary, f, indent=2)
