@@ -33,6 +33,9 @@ class BatchShape:
     vocab_size: int = 50272
     max_masked: int = 12      # MLM positions per sub
 
+    def replace(self, **kw) -> "BatchShape":
+        return dataclasses.replace(self, **kw)
+
 
 TINY = BatchShape(batch=2, n_subs=3, txt_len=8, frames_per_sub=4,
                   n_frames=16, n_queries=2, query_len=6, vfeat_dim=64,

@@ -41,16 +41,22 @@ from hero_tpu.data.occupancy import sample_tv_video
 from hero_tpu.data.synthetic import TV_PACKED, TV_UNPACKED, tv_vsm_batch
 
 
-def measure(step, state, batch, rng, n_steps=20):
+def measure(step, state, batch, rng, n_steps=20, n_runs=3):
+    """Median-of-N steps/s (VERDICT r4 weak #3: the tunnel swings ±15%;
+    every artifact records the individual runs alongside the median)."""
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
     float(metrics["loss"])                      # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch,
-                              jax.random.fold_in(rng, i + 3))
-    float(metrics["loss"])                      # forces the chain
-    return n_steps / (time.perf_counter() - t0)
+    rates = []
+    for run in range(n_runs):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(rng, i + 3))
+        float(metrics["loss"])                  # forces the chain
+        rates.append(n_steps / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], rates
 
 
 def main():
@@ -84,10 +90,12 @@ def main():
                                                     cfg)
         step = make_train_step(loss_fn, spec, donate=True)
         state = TrainState.create(params)
-        sps = measure(step, state, jb, rng)
+        sps, runs = measure(step, state, jb, rng)
         results[name] = {"examples_per_sec": round(sps * B, 2),
                          "step_ms": round(1000.0 / sps, 2),
-                         "subs_dropped_frac": round(drop, 4)}
+                         "subs_dropped_frac": round(drop, 4),
+                         "runs_examples_per_sec": [round(x * B, 2)
+                                                   for x in runs]}
         print(name, results[name], flush=True)
         del state, step, jb
 

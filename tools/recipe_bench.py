@@ -106,11 +106,17 @@ def time_task(task, cfg, vsm, shape, n_steps=20, batch_np=None):
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
     float(metrics["loss"])  # tunnel sync: only a value fetch blocks
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i + 3))
-    float(metrics["loss"])
-    return (time.perf_counter() - t0) / n_steps
+    # median-of-3 (VERDICT r4 weak #3: ±15% tunnel swing; record runs)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(rng, i + 3))
+        float(metrics["loss"])
+        times.append((time.perf_counter() - t0) / n_steps)
+    times.sort()
+    return times[1], times
 
 
 def main(write_artifact=True, layout="packed"):
@@ -138,13 +144,14 @@ def main(write_artifact=True, layout="packed"):
         batch_np, _ = synthetic.tv_task_batch(task, videos, m_shape,
                                               packed=layout == "packed",
                                               seed=2)
-        dt = time_task(task, cfg, vsm, shape, batch_np=batch_np)
+        dt, dt_runs = time_task(task, cfg, vsm, shape, batch_np=batch_np)
         ex_s = shape.batch / dt
         v100 = V100_SUSTAINED / train_flops_per_example(task, shape, cfg)
         per_task[task] = {
             "step_ms": round(dt * 1000, 2),
             "examples_per_sec": round(ex_s, 1),
             "vs_baseline": round(ex_s / v100, 3),
+            "runs_step_ms": [round(t * 1000, 2) for t in dt_runs],
         }
         print(f"# {task:8s} {dt * 1000:7.2f} ms/step "
               f"{ex_s:7.1f} ex/s  vs_baseline={ex_s / v100:.3f}",
