@@ -124,6 +124,12 @@ def base_parser(desc: str = "hero_tpu") -> argparse.ArgumentParser:
                         "are replicated into each packed segment so each "
                         "sub keeps its own visible copy — reference "
                         "videoQA.py:93-115 per-row semantics)")
+    p.add_argument("--pack_queries", action="store_true",
+                   help="corpus eval phase 2: pack several ~15-BPE "
+                        "queries per encoder row (block-diagonal segment "
+                        "mask) — exact, every query lands exactly once; "
+                        "~2x less query-encoder work vs one padded row "
+                        "per query")
     return p
 
 

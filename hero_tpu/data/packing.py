@@ -40,6 +40,50 @@ class Placement:
     flen: int
 
 
+def pack_queries(lens: Sequence[int], row_len: int, max_segs: int = 4
+                 ) -> Tuple[List[Placement], int]:
+    """Best-fit-decreasing query → row packing (serve phase 2).
+
+    Queries average ~15 BPE in a ~30-slot bucket (TVR descriptions), so
+    the reference's per-query row layout (and our unpacked bucket) runs
+    the query encoder at ~50% occupancy; packing 2-3 queries per row
+    behind the same block-diagonal segment mask halves the encoder work.
+    Unlike subs, queries are NEVER dropped: a new row opens whenever no
+    open row fits (any query with ``len <= row_len`` lands exactly once),
+    so the result is exact — only the layout changes.
+
+    Best-fit over a remaining-capacity index keeps this O(N·row_len)
+    (first-fit's O(N·rows) scan is quadratic at corpus-eval query counts).
+    Returns (placements indexed like ``lens``, n_rows).
+    """
+    order = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+    # rows bucketed by remaining capacity; a row leaves the index when
+    # its segment budget is spent
+    by_rem: List[List[int]] = [[] for _ in range(row_len + 1)]
+    t_used: List[int] = []
+    segs: List[int] = []
+    out: List[Optional[Placement]] = [None] * len(lens)
+    for i in order:
+        tl = lens[i]
+        if not 0 < tl <= row_len:
+            raise ValueError(f"query length {tl} outside (0, {row_len}]")
+        row = None
+        for rem in range(tl, row_len + 1):     # smallest sufficient rem
+            if by_rem[rem]:
+                row = by_rem[rem].pop()
+                break
+        if row is None:
+            row = len(t_used)
+            t_used.append(0)
+            segs.append(0)
+        out[i] = Placement(row, segs[row], t_used[row], tl, 0, 0)
+        t_used[row] += tl
+        segs[row] += 1
+        if segs[row] < max_segs and t_used[row] < row_len:
+            by_rem[row_len - t_used[row]].append(row)
+    return out, len(t_used)           # type: ignore[return-value]
+
+
 def pack_subs(lens: Sequence[Tuple[int, int]], n_rows: int, txt_len: int,
               frames_per_sub: int, max_segs: int = PACK_MAX_SEGS
               ) -> List[Optional[Placement]]:

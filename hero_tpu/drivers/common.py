@@ -210,6 +210,7 @@ def eval_opts_from(opts):
                                       ("VCMR", "SVMR", "VR"))),
         eval_with_query_type=getattr(opts, "eval_with_query_type", True),
         corpus_chunk_videos=getattr(opts, "corpus_chunk_videos", 0),
+        pack_queries=getattr(opts, "pack_queries", False),
     )
 
 

@@ -53,6 +53,13 @@ class VcmrEvalOpts:
     # validate_full_vcmr); the HBM ceiling becomes
     # corpus_chunk_videos · max_clip_len · D · 2 bytes (+ model)
     corpus_chunk_videos: int = 0
+    # pack several ~15-BPE queries per encoder row (phase 2a) behind the
+    # block-diagonal segment mask — exact (only the layout changes; every
+    # query lands exactly once, data/packing.py pack_queries); halves the
+    # query-encoder work vs the reference's one-row-per-query layout
+    pack_queries: bool = False
+    query_pack_segs: int = 4
+    query_pack_rows_per_call: int = 64
 
 
 def embed_video_corpus(params, cfg: HeroConfig,
@@ -96,14 +103,88 @@ def embed_video_corpus(params, cfg: HeroConfig,
     return frame_embs, frame_masks
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_segs", "dtype"))
+def _packed_query_encode(params, ids, seg, pos, cfg, max_segs, dtype):
+    # module-level jit (configs are frozen/hashable) so repeated
+    # encode_queries_packed calls reuse ONE compiled program per shape
+    return pretrain_lib.encode_query_packed(params, cfg, ids, seg, pos,
+                                            max_segs, dtype=dtype)
+
+
+def pack_query_arrays(q_ids: np.ndarray, q_lens: np.ndarray,
+                      max_segs: int = 4, rows_per_call: int = 64
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    """Host half of phase 2a: pack the whole query set (best-fit-
+    decreasing, never drops) into rows of ``q_ids.shape[1]`` slots, the
+    row count padded to a ``rows_per_call`` multiple.  Returns
+    (p_ids, p_seg, p_pos, gather) where ``gather[qi]`` is the flat
+    (row·max_segs + seg) slot of query ``qi``'s pooled vector."""
+    from hero_tpu.data.packing import pack_queries
+    nq, row_len = q_ids.shape
+    # zero-mask pad queries (tail batches padded to the fixed batch size)
+    # still need a slot: pack them as length-1 garbage, sliced off later
+    lens = np.maximum(np.asarray(q_lens, np.int64), 1)
+    pls, n_rows = pack_queries([int(x) for x in lens], row_len, max_segs)
+    R = -(-n_rows // rows_per_call) * rows_per_call
+    p_ids = np.zeros((R, row_len), np.int32)
+    p_seg = np.full((R, row_len), -1, np.int32)
+    p_pos = np.zeros((R, row_len), np.int32)
+    gather = np.zeros((nq,), np.int32)
+    for qi, pl in enumerate(pls):
+        p_ids[pl.row, pl.toff:pl.toff + pl.tlen] = q_ids[qi, :pl.tlen]
+        p_seg[pl.row, pl.toff:pl.toff + pl.tlen] = pl.seg
+        p_pos[pl.row, pl.toff:pl.toff + pl.tlen] = np.arange(pl.tlen)
+        gather[qi] = pl.row * max_segs + pl.seg
+    return p_ids, p_seg, p_pos, gather
+
+
+def encode_packed_rows(params, cfg: HeroConfig, p_ids, p_seg, p_pos,
+                       gather, max_segs: int, rows_per_call: int,
+                       dtype=jnp.bfloat16) -> jax.Array:
+    """Device half of phase 2a: run the packed query encoder over fixed
+    ``rows_per_call`` row-batches (one compile) and gather the
+    per-segment pooled vectors back into query order → (Nq, D)."""
+    R = p_ids.shape[0]
+    outs = []
+    for s in range(0, R, rows_per_call):
+        e = s + rows_per_call
+        out = _packed_query_encode(params, p_ids[s:e], p_seg[s:e],
+                                   p_pos[s:e], cfg, max_segs, dtype)
+        outs.append(out.reshape(rows_per_call * max_segs, -1))
+    mod_all = jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+    return jnp.take(mod_all, gather, axis=0)                   # (Nq, D)
+
+
+def encode_queries_packed(params, cfg: HeroConfig,
+                          q_ids: np.ndarray, q_lens: np.ndarray,
+                          max_segs: int = 4, rows_per_call: int = 64,
+                          dtype=jnp.bfloat16) -> jax.Array:
+    """Phase 2a: encode ALL queries packed → (Nq, D) device matrix.
+
+    Host packing (:func:`pack_query_arrays`) + device encode
+    (:func:`encode_packed_rows`).  Exact vs per-row encoding — only the
+    layout changes (the reference encodes one padded row per query,
+    eval_vcmr.py:209-247)."""
+    p_ids, p_seg, p_pos, gather = pack_query_arrays(
+        q_ids, q_lens, max_segs, rows_per_call)
+    return encode_packed_rows(params, cfg, jnp.asarray(p_ids),
+                              jnp.asarray(p_seg), jnp.asarray(p_pos),
+                              jnp.asarray(gather), max_segs,
+                              rows_per_call, dtype)
+
+
 def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                       opts: VcmrEvalOpts, frame_embs: jax.Array,
                       frame_masks: jax.Array, dtype=jnp.bfloat16,
-                      n_real_videos: Optional[int] = None):
+                      n_real_videos: Optional[int] = None,
+                      mod_query_input: bool = False):
     """Phase-2 device function (jit once per query-batch shape).
 
     ``n_real_videos`` caps top-k below any sharding pad rows (see
-    embed_video_corpus)."""
+    embed_video_corpus).  With ``mod_query_input`` the scorer consumes a
+    precomputed (Nq, D) pooled-query matrix (phase 2a packed encoding,
+    :func:`encode_queries_packed`) instead of raw token ids."""
     if vsm.lw_neg_ctx == 0 and vsm.lw_neg_q == 0:
         # mirror the reference's gating (model/vcmr.py:37-56 computes
         # video-level scores only when a ranking weight is set) but fail
@@ -139,9 +220,17 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     # eval_vcmr.py:237-259).
     @functools.partial(jax.jit, static_argnames=())
     def _score(params, frame_embs, frame_masks, q_ids, q_masks, gt_vidx):
-        scores, st, ed = vcmr_lib.get_pred_from_raw_query(
-            params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
-            cross=True, dtype=dtype)
+        if mod_query_input:
+            mod_query = q_ids                      # (Nq, D) precomputed
+            fmask32 = frame_masks.astype(jnp.float32)
+            st, ed = pretrain_lib.get_st_ed_logits(
+                params["head"], mod_query, frame_embs, fmask32, cross=True)
+            scores = pretrain_lib.get_video_level_scores(
+                mod_query, frame_embs, fmask32)
+        else:
+            scores, st, ed = vcmr_lib.get_pred_from_raw_query(
+                params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
+                cross=True, dtype=dtype)
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
         if n_videos < frame_embs.shape[0]:
             # corpus pad rows (sharding pad / fixed-batch tail pad): force
@@ -372,6 +461,11 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
     chunked = (opts.corpus_chunk_videos
                and opts.corpus_chunk_videos < len(video_ids))
     if chunked:
+        if opts.pack_queries:
+            raise ValueError(
+                "pack_queries is not supported together with "
+                "corpus_chunk_videos (the chunked scorer re-encodes "
+                "queries per chunk); drop one of the two flags")
         # corpora exceeding HBM: never materialize (Nv, L, D); score
         # chunk-by-chunk with an exact top-k merge (single-chip path)
         assert mesh is None or mesh.devices.size == 1, (
@@ -388,11 +482,27 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
         frame_embs, frame_masks = embed_video_corpus(
             params, cfg, video_batches, opts.max_clip_len, dtype,
             mesh=mesh)
-        scorer, max_v = make_query_scorer(params, cfg, vsm, opts,
-                                          frame_embs, frame_masks, dtype,
-                                          n_real_videos=len(video_ids))
+        scorer, max_v = make_query_scorer(
+            params, cfg, vsm, opts, frame_embs, frame_masks, dtype,
+            n_real_videos=len(video_ids),
+            mod_query_input=opts.pack_queries)
         L = int(frame_embs.shape[1])
         chunk_outs = None
+        mod_all = None
+        if opts.pack_queries:
+            # phase 2a: encode the WHOLE query set packed (exact — every
+            # query lands exactly once; see encode_queries_packed), then
+            # phase 2b scores per-batch slices of the (Nq, D) matrix
+            query_batches = list(query_batches)
+            all_ids = np.concatenate(
+                [b["query_input_ids"] for b in query_batches], axis=0)
+            all_lens = np.concatenate(
+                [np.asarray(b["query_attn_masks"]).sum(axis=1)
+                 for b in query_batches], axis=0).astype(np.int64)
+            mod_all = encode_queries_packed(
+                params, cfg, all_ids, all_lens,
+                max_segs=opts.query_pack_segs,
+                rows_per_call=opts.query_pack_rows_per_call, dtype=dtype)
 
     total_qids, total_vids = [], []
     svmr_st, svmr_ed = [], []
@@ -432,9 +542,16 @@ def validate_full_vcmr(params, cfg: HeroConfig, vsm: VsmConfig,
             n_rows = batch["query_input_ids"].shape[0]
             gt_vidx = np.zeros((n_rows,), dtype=np.int32)
             gt_vidx[:n_real] = [video2idx_local.get(v, 0) for v in vids]
-            out = scorer(jnp.asarray(batch["query_input_ids"]),
-                         jnp.asarray(batch["query_attn_masks"]),
-                         jnp.asarray(gt_vidx))
+            if mod_all is not None:
+                q_off = sum(b["query_input_ids"].shape[0]
+                            for b in query_batches[:bi])
+                out = scorer(
+                    jax.lax.dynamic_slice_in_dim(mod_all, q_off, n_rows),
+                    None, jnp.asarray(gt_vidx))
+            else:
+                out = scorer(jnp.asarray(batch["query_input_ids"]),
+                             jnp.asarray(batch["query_attn_masks"]),
+                             jnp.asarray(gt_vidx))
         st_gt, ed_gt, tsc, tidx, fsc, fidx = (
             np.asarray(x)[:n_real] for x in out)
         if "SVMR" in opts.full_eval_tasks and has_gt_target:

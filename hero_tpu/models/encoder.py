@@ -219,6 +219,36 @@ def get_modularized_queries(p: Params, query: jax.Array,
     return jnp.einsum("blm,bld->bmd", att, query)[:, 0]
 
 
+def query_feat_encoder_packed(p: Params, cfg: TransformerConfig,
+                              query_feat: jax.Array, seg_onehot: jax.Array,
+                              position_ids: jax.Array,
+                              dtype=jnp.float32) -> jax.Array:
+    """Packed variant of :func:`query_feat_encoder`: several queries share
+    one row behind the block-diagonal segment mask (serve phase-2 packing;
+    the reference runs one row per query, encoder.py:426-485).
+
+    query_feat (R, L, qdim), seg_onehot (R, L, S) (all-zero = pad slot),
+    position_ids (R, L) restarting at each segment.  Returns (R, S, D)
+    per-segment modular-pooled vectors; pad segments yield garbage rows
+    the caller must not gather.
+    """
+    h = nn.linear_layer(p["query_input_proj"], query_feat, relu=True,
+                        dtype=dtype)
+    h = embed.query_feat_embeddings(p["pos_embed"], h,
+                                    position_ids=position_ids, cfg=cfg,
+                                    dtype=dtype)
+    h = transformer.attention(p["attention"], h,
+                              seg_onehot.astype(jnp.float32), cfg,
+                              dtype=dtype)
+    # per-segment modular pooling: same softmax-weighted sum as
+    # get_modularized_queries, restricted to each segment's slots
+    scores = nn.linear(p["modular_vector"], h, dtype)[..., 0]     # (R, L)
+    slog = nn.mask_logits(scores[:, None, :],
+                          seg_onehot.transpose(0, 2, 1))          # (R, S, L)
+    att = jax.nn.softmax(slog.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("rsl,rld->rsd", att, h)
+
+
 def query_feat_encoder(p: Params, cfg: TransformerConfig,
                        query_feat: jax.Array, query_mask: jax.Array, *,
                        rng=None, train=False, dtype=jnp.float32) -> jax.Array:

@@ -115,6 +115,27 @@ def encode_query(params: Params, cfg: HeroConfig, input_ids, attn_mask, *,
                                   train=train, dtype=dtype)
 
 
+def encode_query_packed(params: Params, cfg: HeroConfig, p_ids, p_seg,
+                        p_pos, max_segs: int, *,
+                        dtype=jnp.float32) -> jax.Array:
+    """Packed :func:`encode_query`: several ~15-BPE queries share one
+    f-encoder text row behind the block-diagonal segment mask
+    (data/packing.py pack_queries), halving the phase-2 query-encoder
+    work vs the reference's one-row-per-query layout
+    (eval_vcmr.py:209-247).
+
+    p_ids/p_seg/p_pos: (R, L) int32 (seg -1 = pad slot; positions restart
+    per segment).  Returns (R, max_segs, D) per-segment pooled vectors.
+    """
+    seg1h = jax.nn.one_hot(p_seg, max_segs, dtype=jnp.float32)    # (R,L,S)
+    txt_out = enc.cross_modal_txt(params["v_encoder"]["f_encoder"],
+                                  cfg.f_config, p_ids, seg1h,
+                                  position_ids=p_pos, dtype=dtype)
+    return enc.query_feat_encoder_packed(params["head"]["q_feat_attn"],
+                                         cfg.q_config, txt_out, seg1h,
+                                         p_pos, dtype=dtype)
+
+
 def get_st_ed_logits(head: Params, mod_query: jax.Array,
                      frame_emb: jax.Array, frame_mask: jax.Array,
                      cross: bool = False

@@ -147,13 +147,18 @@ def test_train_and_eval_vcmr_pack_subs(env, tmp_path_factory):
     cfg_pack = os.path.join(os.path.dirname(out), "exp_pack.json")
     with open(cfg_pack, "w") as f:
         json.dump(cfg, f)
-    opts = opts_lib.get_vcmr_args(["--config", cfg_pack, "--pack_subs"])
-    assert opts.pack_subs
+    opts = opts_lib.get_vcmr_args(["--config", cfg_pack, "--pack_subs",
+                                   "--pack_queries"])
+    assert opts.pack_subs and opts.pack_queries
 
     from hero_tpu.drivers import train_vcmr
     train_vcmr.main(opts)
     with open(os.path.join(out, "log", "hps.json")) as f:
-        assert json.load(f)["pack_subs"] is True
+        hps = json.load(f)
+        assert hps["pack_subs"] is True
+        # --pack_queries rides hps.json into the standalone eval below,
+        # so its phase 2 runs the packed query encoder too
+        assert hps["pack_queries"] is True
     results = [f for f in os.listdir(out) if f.startswith("results_")]
     assert results
 

@@ -161,6 +161,22 @@ def test_sharded_corpus_eval_matches_unsharded(setup):
                 assert pa[:3] == pb[:3]
                 assert pa[3] == pytest.approx(pb[3], rel=1e-5)
 
+    # packed queries × sharded corpus: the (Nq, D) pooled matrix feeds
+    # the mesh-sharded scorer — same metrics again
+    opts_p = dataclasses.replace(opts, pack_queries=True,
+                                 query_pack_segs=3,
+                                 query_pack_rows_per_call=2)
+    _, sub_sp, m_sp = validate_full_vcmr(
+        params, cfg, vsm, opts_p, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32, mesh=mesh)
+    assert m_ref == m_sp
+    for task in ("VCMR", "VR"):
+        for a, b in zip(sub_ref[task], sub_sp[task]):
+            assert a["desc_id"] == b["desc_id"]
+            for pa, pb in zip(a["predictions"], b["predictions"]):
+                assert pa[:3] == pb[:3]
+                assert pa[3] == pytest.approx(pb[3], rel=1e-4)
+
 
 def test_padded_tail_batches_match_unpadded(setup):
     """VERDICT r3 #6 (one-compile eval): query tail batches padded to the
@@ -369,3 +385,107 @@ def test_scorer_matches_dense_reference(setup):
         for flat_i, s in got.items():
             assert flat_i in dense
             np.testing.assert_allclose(s, dense[flat_i], rtol=1e-5)
+
+
+def test_pack_queries_placement():
+    """Every query lands exactly once, within its row's budget, ≤max_segs
+    per row, no slot overlap; over-long queries fail loudly."""
+    from hero_tpu.data.packing import pack_queries
+    lens = [15, 8, 30, 2, 14, 16, 1, 29, 30, 5]
+    pls, n_rows = pack_queries(lens, row_len=30, max_segs=3)
+    assert len(pls) == len(lens)
+    used = {}
+    for qi, pl in enumerate(pls):
+        assert pl.tlen == lens[qi]
+        assert 0 <= pl.toff and pl.toff + pl.tlen <= 30
+        for slot in range(pl.toff, pl.toff + pl.tlen):
+            key = (pl.row, slot)
+            assert key not in used, f"slot overlap at {key}"
+            used[key] = qi
+    rows = {}
+    for pl in pls:
+        rows.setdefault(pl.row, []).append(pl.seg)
+    assert max(pl.row for pl in pls) == n_rows - 1
+    for segs in rows.values():
+        assert len(segs) <= 3
+        assert sorted(segs) == list(range(len(segs)))
+    # packs tighter than one row per query
+    assert n_rows < len(lens)
+    # deterministic
+    pls2, n2 = pack_queries(lens, row_len=30, max_segs=3)
+    assert n2 == n_rows and pls2 == pls
+    with pytest.raises(ValueError):
+        pack_queries([31], row_len=30)
+
+
+def test_encode_queries_packed_equivalence(setup):
+    """Packed query encoding (phase 2a) matches per-row encode_query for
+    every query, across multiple fixed row-batches + the gather-back."""
+    from hero_tpu.evaluation.vcmr_eval import encode_queries_packed
+    cfg, params, vsm = setup
+    r = np.random.RandomState(11)
+    nq, Lq = 9, 6
+    lens = r.randint(2, Lq + 1, (nq,))
+    q_ids = r.randint(3, 128, (nq, Lq)).astype(np.int32)
+    q_mask = np.zeros((nq, Lq), np.float32)
+    for i, ln in enumerate(lens):
+        q_ids[i, ln:] = 1                      # pad ids (masked anyway)
+        q_mask[i, :ln] = 1.0
+    ref = np.asarray(pretrain.encode_query(
+        params, cfg, jnp.asarray(q_ids), jnp.asarray(q_mask),
+        dtype=jnp.float32))
+    packed = np.asarray(encode_queries_packed(
+        params, cfg, q_ids, lens, max_segs=3, rows_per_call=2,
+        dtype=jnp.float32))
+    assert packed.shape == ref.shape
+    np.testing.assert_allclose(packed, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_full_vcmr_pack_queries_matches_unpacked(setup):
+    """validate_full_vcmr with opts.pack_queries must produce the same
+    submission and metrics as the per-row query path (exactness: only the
+    encoder layout changes — data/packing.py pack_queries)."""
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    n_videos = 6
+    video_ids = [f"v{i}" for i in range(n_videos)]
+    video2idx = {v: i for i, v in enumerate(video_ids)}
+    r = np.random.RandomState(5)
+    n_q = 6
+    gt = [video_ids[r.randint(n_videos)] for _ in range(n_q)]
+    qd = {q: {"desc_id": q, "desc": "", "vid_name": gt[q],
+              "ts": [0.0, 4.5], "type": "v"} for q in range(n_q)}
+    q_ids = r.randint(3, 128, (n_q, 6)).astype(np.int32)
+    q_mask = np.zeros((n_q, 6), np.float32)
+    for i in range(n_q):
+        ln = r.randint(2, 7)
+        q_mask[i, :ln] = 1.0
+        q_ids[i, ln:] = 1
+    qb = [{"qids": list(range(3)), "vids": gt[:3],
+           "query_input_ids": q_ids[:3], "query_attn_masks": q_mask[:3]},
+          {"qids": list(range(3, 6)), "vids": gt[3:],
+           "query_input_ids": q_ids[3:], "query_attn_masks": q_mask[3:]}]
+    opts = VcmrEvalOpts(max_vcmr_video=6, min_pred_l=1, max_pred_l=8,
+                        max_before_nms=20, max_after_nms=10, nms_thd=-1,
+                        vfeat_interval=1.5, max_clip_len=shape.n_frames)
+
+    def batches():
+        return [synthetic.base_batch(shape, seed=10),
+                synthetic.base_batch(shape, seed=11)]
+
+    _, sub_ref, m_ref = validate_full_vcmr(
+        params, cfg, vsm, opts, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    opts_p = dataclasses.replace(opts, pack_queries=True,
+                                 query_pack_segs=3,
+                                 query_pack_rows_per_call=2)
+    _, sub_p, m_p = validate_full_vcmr(
+        params, cfg, vsm, opts_p, batches(), [dict(b) for b in qb],
+        video_ids, video2idx, qd, dtype=jnp.float32)
+    assert m_ref == m_p
+    for task in ("VCMR", "VR", "SVMR"):
+        for a, b in zip(sub_ref[task], sub_p[task]):
+            assert a["desc_id"] == b["desc_id"]
+            for pa, pb in zip(a["predictions"], b["predictions"]):
+                assert pa[:3] == pb[:3]
+                assert pa[3] == pytest.approx(pb[3], rel=1e-4)
