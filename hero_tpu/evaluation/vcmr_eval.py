@@ -174,17 +174,7 @@ def encode_queries_packed(params, cfg: HeroConfig,
                               rows_per_call, dtype)
 
 
-def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
-                      opts: VcmrEvalOpts, frame_embs: jax.Array,
-                      frame_masks: jax.Array, dtype=jnp.bfloat16,
-                      n_real_videos: Optional[int] = None,
-                      mod_query_input: bool = False):
-    """Phase-2 device function (jit once per query-batch shape).
-
-    ``n_real_videos`` caps top-k below any sharding pad rows (see
-    embed_video_corpus).  With ``mod_query_input`` the scorer consumes a
-    precomputed (Nq, D) pooled-query matrix (phase 2a packed encoding,
-    :func:`encode_queries_packed`) instead of raw token ids."""
+def _check_ranking_weights(vsm: VsmConfig):
     if vsm.lw_neg_ctx == 0 and vsm.lw_neg_q == 0:
         # mirror the reference's gating (model/vcmr.py:37-56 computes
         # video-level scores only when a ranking weight is set) but fail
@@ -194,10 +184,21 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
             "lw_neg_ctx == lw_neg_q == 0 disables the ranking head. "
             "Check that the eval config (or the train-time hps.json the "
             "eval driver reloads) carries the VSM loss weights.")
-    n_videos = (n_real_videos if n_real_videos is not None
-                else frame_embs.shape[0])
+
+
+def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
+                 L: int):
+    """The post-encoder phase-2 core shared by every scorer flavor:
+    sharpen → top-``max_v`` videos → selected/GT span softmaxes → in-band
+    span scores → exact two-level top-k.
+
+    Span softmaxes run AFTER video selection: softmax is row-wise over
+    L, so softmax(gather(st)) == gather(softmax(st)) exactly — ~Nv/max_v
+    times less softmax work, and only the small selected/GT tensors ever
+    leave the device (the dense (Nq, Nv, L) probability cubes stay
+    unmaterialized; the reference materializes + ships them,
+    eval_vcmr.py:237-259)."""
     max_v = min(opts.max_vcmr_video, n_videos)
-    L = frame_embs.shape[1]
     # the min/max-span band keeps only ~(max_l-min_l+1) of L diagonals of
     # the (L, L) span matrix — enumerate its positions host-side and score
     # ONLY those, instead of materializing + top-k'ing the dense masked
@@ -210,33 +211,13 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     band_pos = jnp.asarray(band_pos)
     n_band = int(band_pos.shape[0])
 
-    # corpus tensors and params enter as jit ARGUMENTS — closing over them
-    # would bake hundreds of MB of constants into the compiled program.
-    # Span softmaxes run AFTER video selection: softmax is row-wise over
-    # L, so softmax(gather(st)) == gather(softmax(st)) exactly — ~Nv/max_v
-    # times less softmax work, and only the small selected/GT tensors ever
-    # leave the device (the dense (Nq, Nv, L) probability cubes stay
-    # unmaterialized; the reference materializes + ships them,
-    # eval_vcmr.py:237-259).
-    @functools.partial(jax.jit, static_argnames=())
-    def _score(params, frame_embs, frame_masks, q_ids, q_masks, gt_vidx):
-        if mod_query_input:
-            mod_query = q_ids                      # (Nq, D) precomputed
-            fmask32 = frame_masks.astype(jnp.float32)
-            st, ed = pretrain_lib.get_st_ed_logits(
-                params["head"], mod_query, frame_embs, fmask32, cross=True)
-            scores = pretrain_lib.get_video_level_scores(
-                mod_query, frame_embs, fmask32)
-        else:
-            scores, st, ed = vcmr_lib.get_pred_from_raw_query(
-                params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
-                cross=True, dtype=dtype)
+    def rank(st, ed, scores, gt_vidx):
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
-        if n_videos < frame_embs.shape[0]:
+        if n_videos < n_rows_total:
             # corpus pad rows (sharding pad / fixed-batch tail pad): force
             # strictly below every real exp(α·s) > 0 so top-k (≤ n_videos
             # entries) can never select one
-            valid_v = jnp.arange(frame_embs.shape[0]) < n_videos
+            valid_v = jnp.arange(n_rows_total) < n_videos
             sharp = jnp.where(valid_v[None, :], sharp, -1.0)
         top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
         st_sel = jnp.take_along_axis(st, top_idx[..., None], axis=1)
@@ -267,6 +248,48 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
         flat_idx = vid * (L * L) + band_pos[pos]
         return (st_gt, ed_gt, top_scores, top_idx, sc2, flat_idx)
 
+    return rank, max_v
+
+
+def _mod_query_preds(params, mod_query, frame_embs, frame_masks):
+    fmask32 = frame_masks.astype(jnp.float32)
+    st, ed = pretrain_lib.get_st_ed_logits(params["head"], mod_query,
+                                           frame_embs, fmask32, cross=True)
+    scores = pretrain_lib.get_video_level_scores(mod_query, frame_embs,
+                                                 fmask32)
+    return st, ed, scores
+
+
+def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
+                      opts: VcmrEvalOpts, frame_embs: jax.Array,
+                      frame_masks: jax.Array, dtype=jnp.bfloat16,
+                      n_real_videos: Optional[int] = None,
+                      mod_query_input: bool = False):
+    """Phase-2 device function (jit once per query-batch shape).
+
+    ``n_real_videos`` caps top-k below any sharding pad rows (see
+    embed_video_corpus).  With ``mod_query_input`` the scorer consumes a
+    precomputed (Nq, D) pooled-query matrix (phase 2a packed encoding,
+    :func:`encode_queries_packed`) instead of raw token ids."""
+    _check_ranking_weights(vsm)
+    n_videos = (n_real_videos if n_real_videos is not None
+                else frame_embs.shape[0])
+    rank, max_v = _make_ranker(opts, n_videos, int(frame_embs.shape[0]),
+                               int(frame_embs.shape[1]))
+
+    # corpus tensors and params enter as jit ARGUMENTS — closing over them
+    # would bake hundreds of MB of constants into the compiled program
+    @functools.partial(jax.jit, static_argnames=())
+    def _score(params, frame_embs, frame_masks, q_ids, q_masks, gt_vidx):
+        if mod_query_input:
+            st, ed, scores = _mod_query_preds(params, q_ids, frame_embs,
+                                              frame_masks)
+        else:
+            scores, st, ed = vcmr_lib.get_pred_from_raw_query(
+                params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
+                cross=True, dtype=dtype)
+        return rank(st, ed, scores, gt_vidx)
+
     def score(q_ids, q_masks, gt_vidx=None):
         if gt_vidx is None:
             gt_vidx = jnp.zeros((q_ids.shape[0],), jnp.int32)
@@ -274,6 +297,48 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                       gt_vidx)
 
     return score, max_v
+
+
+def make_fused_packed_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
+                             opts: VcmrEvalOpts, frame_embs: jax.Array,
+                             frame_masks: jax.Array, dtype=jnp.bfloat16,
+                             n_real_videos: Optional[int] = None,
+                             max_segs: int = 4):
+    """Single-dispatch serving program: packed query encode (phase 2a) +
+    pooled-vector gather + corpus scoring + exact two-level top-k
+    (phase 2b) for a WHOLE query set in ONE compiled XLA program.
+
+    This is the production serving configuration on TPU: one launch per
+    request batch amortizes every per-op dispatch, XLA fuses the
+    encode→score boundary, and only the final top-k tensors leave the
+    device.  Compiles once per (rows, Nq) shape — size the query-set
+    bucket accordingly (pad rows/queries; pad queries are scored as
+    garbage and sliced off by the caller, exactly like the per-batch
+    scorer's tail padding)."""
+    _check_ranking_weights(vsm)
+    n_videos = (n_real_videos if n_real_videos is not None
+                else frame_embs.shape[0])
+    rank, max_v = _make_ranker(opts, n_videos, int(frame_embs.shape[0]),
+                               int(frame_embs.shape[1]))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _run(params, frame_embs, frame_masks, p_ids, p_seg, p_pos,
+             gather, gt_vidx):
+        mod = pretrain_lib.encode_query_packed(params, cfg, p_ids, p_seg,
+                                               p_pos, max_segs,
+                                               dtype=dtype)
+        mod = jnp.take(mod.reshape(-1, mod.shape[-1]), gather, axis=0)
+        st, ed, scores = _mod_query_preds(params, mod, frame_embs,
+                                          frame_masks)
+        return rank(st, ed, scores, gt_vidx)
+
+    def run(p_ids, p_seg, p_pos, gather, gt_vidx=None):
+        if gt_vidx is None:
+            gt_vidx = jnp.zeros((gather.shape[0],), jnp.int32)
+        return _run(params, frame_embs, frame_masks, p_ids, p_seg, p_pos,
+                    gather, gt_vidx)
+
+    return run, max_v
 
 
 def _band_setup(opts: VcmrEvalOpts, L: int):

@@ -489,3 +489,49 @@ def test_full_vcmr_pack_queries_matches_unpacked(setup):
             for pa, pb in zip(a["predictions"], b["predictions"]):
                 assert pa[:3] == pb[:3]
                 assert pa[3] == pytest.approx(pb[3], rel=1e-4)
+
+
+def test_fused_packed_scorer_matches_raw(setup):
+    """The single-dispatch serving program (packed encode + score + top-k
+    in one jit) returns the same outputs as the per-batch raw-ids scorer
+    for every query."""
+    from hero_tpu.evaluation.vcmr_eval import (embed_video_corpus,
+                                               make_fused_packed_scorer,
+                                               make_query_scorer,
+                                               pack_query_arrays)
+    cfg, params, vsm = setup
+    shape = dataclasses.replace(synthetic.TINY, batch=3)
+    opts = VcmrEvalOpts(max_vcmr_video=4, min_pred_l=1, max_pred_l=4,
+                        max_before_nms=12, vfeat_interval=1.5,
+                        max_clip_len=shape.n_frames)
+    frame_embs, frame_masks = embed_video_corpus(
+        params, cfg, _video_batches(shape, 2), shape.n_frames,
+        dtype=jnp.float32)
+    r = np.random.RandomState(13)
+    nq, Lq = 8, 6
+    lens = r.randint(2, Lq + 1, (nq,))
+    q_ids = r.randint(3, 128, (nq, Lq)).astype(np.int32)
+    q_mask = np.zeros((nq, Lq), np.float32)
+    for i, ln in enumerate(lens):
+        q_ids[i, ln:] = 1
+        q_mask[i, :ln] = 1.0
+    gt = r.randint(0, int(frame_embs.shape[0]), (nq,)).astype(np.int32)
+
+    scorer, _ = make_query_scorer(params, cfg, vsm, opts, frame_embs,
+                                  frame_masks, jnp.float32)
+    ref = scorer(jnp.asarray(q_ids), jnp.asarray(q_mask), jnp.asarray(gt))
+
+    fused, _ = make_fused_packed_scorer(params, cfg, vsm, opts, frame_embs,
+                                        frame_masks, jnp.float32,
+                                        max_segs=3)
+    arrs = pack_query_arrays(q_ids, lens, max_segs=3, rows_per_call=2)
+    got = fused(*(jnp.asarray(a) for a in arrs), jnp.asarray(gt))
+
+    for name, a, b in zip(("st_gt", "ed_gt", "tsc", "tidx", "sc2", "fidx"),
+                          ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind in "iu":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6,
+                                       err_msg=name)
