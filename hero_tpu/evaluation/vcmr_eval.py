@@ -34,6 +34,11 @@ from hero_tpu.models.pretrain import VsmConfig
 from hero_tpu.utils.misc import params_to_device
 
 
+# band-tile width for the chunked exact top-k in _make_ranker; 32 lanes
+# measured fastest on v5e (16/64/128 within 5-40% slower at TVR shapes)
+_RANK_CHUNK = 32
+
+
 @dataclasses.dataclass(frozen=True)
 class VcmrEvalOpts:
     """Inference options (reference train-tvr-8gpu.json / eval_vcmr flags)."""
@@ -206,10 +211,35 @@ def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
     band = tvr_metrics.generate_min_max_length_mask(
         (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
     band_pos = np.flatnonzero(band.reshape(-1)).astype(np.int32)
-    band_st = jnp.asarray(band_pos // L)
-    band_ed = jnp.asarray(band_pos % L)
-    band_pos = jnp.asarray(band_pos)
     n_band = int(band_pos.shape[0])
+    # chunked exact top-k (round 5): ``lax.top_k`` lowers to a bitonic
+    # sort on TPU whose cost is pass-bound, not bandwidth-bound — the
+    # former per-video top-k1 over the (Nq, max_v, n_band) cube measured
+    # 31 ms of the 108 ms serve step at TVR shapes.  Instead, tile the
+    # band into ``_RANK_CHUNK``-lane chunks and select whole chunks
+    # under the TOTAL order (value desc, flat position asc) — i.e.
+    # lax.top_k's lowest-index-first tie semantics.  Rank chunks by
+    # (chunk max desc, position of its first max asc): the true top-k
+    # elements occupy <= k chunks, each holding one has chunk-max >=
+    # the k-th element under that order, and because the order is total
+    # (positions are unique) at most k chunks can rank at or above it —
+    # so the top-k chunks provably contain every top-k element, ties
+    # included, with no margin.  That shrinks the big sort to
+    # (Nq, n_chunks) over chunk maxes + one small final lexicographic
+    # sort of the gathered candidates; 3.3x faster at TVR serve shapes,
+    # bit-identical to the dense reference path (pinned in
+    # tests/test_vcmr_eval.py, incl. a tie-adversarial quantized case).
+    chunk = _RANK_CHUNK
+    nbp = -(-n_band // chunk) * chunk
+    bp_pad = np.concatenate(
+        [band_pos, np.zeros(nbp - n_band, np.int32)])
+    band_st = jnp.asarray(bp_pad // L)
+    band_ed = jnp.asarray(bp_pad % L)
+    bp_pad = jnp.asarray(bp_pad)
+    lane_valid = jnp.asarray(np.arange(nbp) < n_band)
+    ncv = nbp // chunk                            # chunks per video
+    k = min(opts.max_before_nms, max_v * n_band)
+    K = min(k, max_v * ncv)                       # chunks to gather
 
     def rank(st, ed, scores, gt_vidx):
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
@@ -231,21 +261,39 @@ def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
         ed_gt = jnp.take_along_axis(ed, gt, axis=1)[:, 0]
         st_gt = jax.nn.softmax(st_gt.astype(jnp.float32), -1)
         ed_gt = jax.nn.softmax(ed_gt.astype(jnp.float32), -1)
-        # score only the in-band (st, ed) pairs: (Nq, max_v, n_band)
+        nq = st.shape[0]
+        # in-band (st, ed) pair scores, materialized once as (Nq,
+        # max_v·ncv, chunk) with the video score and pad lanes folded in
+        # (vals >= 0 for real lanes, pads pinned to -1)
         vals = (st_sel[..., band_st] * ed_sel[..., band_ed]
                 * top_scores[..., None])
-        nq = vals.shape[0]
-        k = min(opts.max_before_nms, max_v * n_band)
-        # exact two-level top-k (per-video then across videos) — far
-        # cheaper than one global top_k over max_v·n_band elements
-        k1 = min(k, n_band)
-        sc1, idx1 = jax.lax.top_k(vals, k1)           # (Nq, max_v, k1)
-        sc2, idx2 = jax.lax.top_k(sc1.reshape(nq, -1), k)
-        vid = idx2 // k1                              # (Nq, k)
-        pos = jnp.take_along_axis(
-            idx1.reshape(nq, -1), vid * k1 + idx2 % k1, axis=1)
+        vals = jnp.where(lane_valid[None, None, :], vals, -1.0)
+        vals = vals.reshape(nq, max_v * ncv, chunk)
+        cmax = vals.max(-1)                           # (Nq, n_chunks)
+        # position of each chunk's first max (argmax = lowest lane among
+        # ties), making the chunk ranking a total order
+        cpos = (jnp.arange(0, max_v * ncv * chunk, chunk, dtype=jnp.int32)
+                [None, :] + jnp.argmax(vals, -1).astype(jnp.int32))
+        chunk_ids = jnp.broadcast_to(
+            jnp.arange(max_v * ncv, dtype=jnp.int32)[None, :], cmax.shape)
+        _, _, cidx = jax.lax.sort((-cmax, cpos, chunk_ids),
+                                  dimension=-1, num_keys=2)
+        cidx = cidx[:, :K]                            # (Nq, K) chunk ids
+        # contiguous chunk-row gathers (data-dependent *element* gathers
+        # lower to scalar loops on TPU; row gathers lower efficiently)
+        cval = jnp.take_along_axis(vals, cidx[..., None], axis=1)
+        # flat band-cube position of every candidate lane, by arithmetic
+        okey = (cidx[..., None] * chunk
+                + jnp.arange(chunk)).astype(jnp.int32)
+        # exact final selection: (value desc, flat position asc) ==
+        # lax.top_k tie semantics, lexicographic 2-key sort
+        sneg, skey = jax.lax.sort(
+            (-cval.reshape(nq, K * chunk), okey.reshape(nq, K * chunk)),
+            dimension=-1, num_keys=2)
+        sc2 = -sneg[:, :k]
+        fb = skey[:, :k]
         # same flat (video, st·L + ed) layout the host decode expects
-        flat_idx = vid * (L * L) + band_pos[pos]
+        flat_idx = fb // nbp * (L * L) + bp_pad[fb % nbp]
         return (st_gt, ed_gt, top_scores, top_idx, sc2, flat_idx)
 
     return rank, max_v

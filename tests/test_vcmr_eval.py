@@ -535,3 +535,59 @@ def test_fused_packed_scorer_matches_raw(setup):
         else:
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6,
                                        err_msg=name)
+
+
+def test_ranker_exact_vs_numpy_with_ties():
+    """The chunked exact top-k in _make_ranker == a brute-force numpy
+    reference (value desc, flat (video, st·L+ed) asc — lax.top_k tie
+    semantics), on tie-heavy quantized inputs and with corpus pad rows.
+
+    Guards the round-5 chunk-max selection theorem: under the total
+    order (value desc, position asc), the top-k elements occupy <= k
+    chunks and each such chunk ranks at or above the k-th chunk, so
+    gathering the top-k chunks is lossless — ties included."""
+    from hero_tpu.evaluation.vcmr_eval import _make_ranker
+
+    L, n_videos, n_rows, nq = 16, 20, 24, 5
+    opts = VcmrEvalOpts(max_vcmr_video=10, min_pred_l=2, max_pred_l=6,
+                        max_before_nms=60, vfeat_interval=1.5,
+                        max_clip_len=L)
+    r = np.random.RandomState(3)
+    # quantized logits force many exact ties in the span products
+    st = np.round(r.randn(nq, n_rows, L) * 2) / 2
+    ed = np.round(r.randn(nq, n_rows, L) * 2) / 2
+    scores = np.round(r.randn(nq, n_rows) * 4) / 8
+    scores[:, n_videos:] = 10.0  # pad rows must never be selected
+    gt = r.randint(0, n_videos, (nq,)).astype(np.int32)
+
+    rank, max_v = _make_ranker(opts, n_videos, n_rows, L)
+    st_gt, ed_gt, tsc, tidx, sc2, fidx = map(np.asarray, jax.jit(rank)(
+        jnp.asarray(st, jnp.float32), jnp.asarray(ed, jnp.float32),
+        jnp.asarray(scores, jnp.float32), jnp.asarray(gt)))
+
+    band = tvr_metrics.generate_min_max_length_mask(
+        (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
+    band_flat = band.reshape(-1).astype(bool)
+    # XLA's exp differs from np.exp by 1 ulp on some inputs, which would
+    # split tie groups between the two references — use the same op
+    sharp = np.array(jnp.exp(
+        opts.q2c_alpha * jnp.asarray(scores, jnp.float32)))
+    sharp[:, n_videos:] = -1.0
+    st_p = np.asarray(jax.nn.softmax(jnp.asarray(st, jnp.float32), -1))
+    ed_p = np.asarray(jax.nn.softmax(jnp.asarray(ed, jnp.float32), -1))
+    k = opts.max_before_nms
+    for qi in range(nq):
+        order = np.argsort(-sharp[qi], kind="stable")[:max_v]
+        np.testing.assert_array_equal(tidx[qi], order)
+        cands = []  # (negval, flat_selected_rank_idx, value)
+        for rank_i, vi in enumerate(order):
+            cube = (np.outer(st_p[qi, vi], ed_p[qi, vi])
+                    * sharp[qi, vi]).reshape(-1)
+            for flat in np.flatnonzero(band_flat):
+                cands.append((-cube[flat], rank_i * L * L + flat,
+                              cube[flat]))
+        cands.sort()
+        want_v = np.array([c[2] for c in cands[:k]], np.float32)
+        want_i = np.array([c[1] for c in cands[:k]], np.int64)
+        np.testing.assert_allclose(sc2[qi], want_v, rtol=1e-6)
+        np.testing.assert_array_equal(fidx[qi], want_i)
