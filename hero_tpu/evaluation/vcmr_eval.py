@@ -241,7 +241,13 @@ def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
     k = min(opts.max_before_nms, max_v * n_band)
     K = min(k, max_v * ncv)                       # chunks to gather
 
-    def rank(st, ed, scores, gt_vidx):
+    def rank(sim, scores, gt_vidx, head, fmask32):
+        """sim: pre-conv (Nq, Nv, L) similarity (get_st_ed_sim); the
+        st/ed convs + frame masking run on the top-``max_v`` selected
+        rows and the GT rows ONLY — selection depends on ``scores``
+        alone, and conv/mask/softmax are row-local over L, so this
+        commutes exactly with the former conv-everything order (the
+        full-corpus conv was 23.5 ms/512 queries vs 2.7 ms selected)."""
         sharp = jnp.exp(opts.q2c_alpha * scores.astype(jnp.float32))
         if n_videos < n_rows_total:
             # corpus pad rows (sharding pad / fixed-batch tail pad): force
@@ -250,18 +256,21 @@ def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
             valid_v = jnp.arange(n_rows_total) < n_videos
             sharp = jnp.where(valid_v[None, :], sharp, -1.0)
         top_scores, top_idx = jax.lax.top_k(sharp, max_v)   # (Nq, max_v)
-        st_sel = jnp.take_along_axis(st, top_idx[..., None], axis=1)
-        ed_sel = jnp.take_along_axis(ed, top_idx[..., None], axis=1)
+        sim_sel = jnp.take_along_axis(sim, top_idx[..., None], axis=1)
+        fm_sel = jnp.take(fmask32, top_idx, axis=0)     # (Nq, max_v, L)
+        st_sel, ed_sel = pretrain_lib.conv_st_ed_masked(head, sim_sel,
+                                                        fm_sel)
         st_sel = jax.nn.softmax(st_sel.astype(jnp.float32), -1)
         ed_sel = jax.nn.softmax(ed_sel.astype(jnp.float32), -1)
         # SVMR ground-truth rows, gathered on device (host slicing of the
         # full cube would force a (Nq, Nv, L) device→host fetch per batch)
         gt = gt_vidx[:, None, None]
-        st_gt = jnp.take_along_axis(st, gt, axis=1)[:, 0]
-        ed_gt = jnp.take_along_axis(ed, gt, axis=1)[:, 0]
+        sim_gt = jnp.take_along_axis(sim, gt, axis=1)[:, 0]
+        fm_gt = jnp.take(fmask32, gt_vidx, axis=0)          # (Nq, L)
+        st_gt, ed_gt = pretrain_lib.conv_st_ed_masked(head, sim_gt, fm_gt)
         st_gt = jax.nn.softmax(st_gt.astype(jnp.float32), -1)
         ed_gt = jax.nn.softmax(ed_gt.astype(jnp.float32), -1)
-        nq = st.shape[0]
+        nq = sim.shape[0]
         # in-band (st, ed) pair scores, materialized once as (Nq,
         # max_v·ncv, chunk) with the video score and pad lanes folded in
         # (vals >= 0 for real lanes, pads pinned to -1)
@@ -299,13 +308,15 @@ def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
     return rank, max_v
 
 
-def _mod_query_preds(params, mod_query, frame_embs, frame_masks):
+def _mod_query_sim(params, mod_query, frame_embs, frame_masks):
+    """Pre-conv similarity + video scores — the ranker convs selected
+    rows only (see _make_ranker)."""
     fmask32 = frame_masks.astype(jnp.float32)
-    st, ed = pretrain_lib.get_st_ed_logits(params["head"], mod_query,
-                                           frame_embs, fmask32, cross=True)
+    sim = pretrain_lib.get_st_ed_sim(params["head"], mod_query,
+                                     frame_embs)
     scores = pretrain_lib.get_video_level_scores(mod_query, frame_embs,
                                                  fmask32)
-    return st, ed, scores
+    return sim, scores, fmask32
 
 
 def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
@@ -330,13 +341,13 @@ def make_query_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
     @functools.partial(jax.jit, static_argnames=())
     def _score(params, frame_embs, frame_masks, q_ids, q_masks, gt_vidx):
         if mod_query_input:
-            st, ed, scores = _mod_query_preds(params, q_ids, frame_embs,
-                                              frame_masks)
+            mod = q_ids
         else:
-            scores, st, ed = vcmr_lib.get_pred_from_raw_query(
-                params, cfg, vsm, frame_embs, frame_masks, q_ids, q_masks,
-                cross=True, dtype=dtype)
-        return rank(st, ed, scores, gt_vidx)
+            mod = pretrain_lib.encode_query(params, cfg, q_ids, q_masks,
+                                            dtype=dtype)
+        sim, scores, fmask32 = _mod_query_sim(params, mod, frame_embs,
+                                              frame_masks)
+        return rank(sim, scores, gt_vidx, params["head"], fmask32)
 
     def score(q_ids, q_masks, gt_vidx=None):
         if gt_vidx is None:
@@ -353,7 +364,7 @@ def make_fused_packed_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                              n_real_videos: Optional[int] = None,
                              max_segs: int = 4):
     """Single-dispatch serving program: packed query encode (phase 2a) +
-    pooled-vector gather + corpus scoring + exact two-level top-k
+    pooled-vector gather + corpus scoring + chunked exact top-k
     (phase 2b) for a WHOLE query set in ONE compiled XLA program.
 
     This is the production serving configuration on TPU: one launch per
@@ -376,9 +387,9 @@ def make_fused_packed_scorer(params, cfg: HeroConfig, vsm: VsmConfig,
                                                p_pos, max_segs,
                                                dtype=dtype)
         mod = jnp.take(mod.reshape(-1, mod.shape[-1]), gather, axis=0)
-        st, ed, scores = _mod_query_preds(params, mod, frame_embs,
-                                          frame_masks)
-        return rank(st, ed, scores, gt_vidx)
+        sim, scores, fmask32 = _mod_query_sim(params, mod, frame_embs,
+                                              frame_masks)
+        return rank(sim, scores, gt_vidx, params["head"], fmask32)
 
     def run(p_ids, p_seg, p_pos, gather, gt_vidx=None):
         if gt_vidx is None:

@@ -136,6 +136,31 @@ def encode_query_packed(params: Params, cfg: HeroConfig, p_ids, p_seg,
                                          p_pos, dtype=dtype)
 
 
+def get_st_ed_sim(head: Params, mod_query: jax.Array,
+                  frame_emb: jax.Array) -> jax.Array:
+    """Cross-mode pre-conv query·frame similarity (Nq, Nv, L): the sim
+    einsum of :func:`get_st_ed_logits` WITHOUT the st/ed convs + frame
+    masking.  The corpus ranker applies :func:`conv_st_ed_masked` to its
+    top-k selected rows only — conv/mask are row-local over L, so they
+    commute exactly with row selection, and the full-corpus conv was
+    23.5 ms of the serve phase-2 step vs 2.7 ms post-selection
+    (evaluation/vcmr_eval._make_ranker)."""
+    q = nn.linear(head["video_query_linear"], mod_query,
+                  mod_query.dtype)
+    return jnp.einsum("md,nld->mnl", q, frame_emb,
+                      preferred_element_type=jnp.float32)
+
+
+def conv_st_ed_masked(head: Params, sim: jax.Array, fmask: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """st/ed Conv1d + frame masking over (..., L) similarity rows — the
+    tail of :func:`get_st_ed_logits`, factored so the corpus ranker can
+    apply it after row selection."""
+    st = conv1d_same(head["video_st_predictor"]["kernel"], sim)
+    ed = conv1d_same(head["video_ed_predictor"]["kernel"], sim)
+    return nn.mask_logits(st, fmask), nn.mask_logits(ed, fmask)
+
+
 def get_st_ed_logits(head: Params, mod_query: jax.Array,
                      frame_emb: jax.Array, frame_mask: jax.Array,
                      cross: bool = False
@@ -146,27 +171,14 @@ def get_st_ed_logits(head: Params, mod_query: jax.Array,
     Paired mode: mod_query (N, D), frame_emb (N, L, D) → (N, L) each.
     Cross mode: mod_query (Nq, D), frame_emb (Nv, L, D) → (Nq, Nv, L).
     """
+    if cross:
+        sim = get_st_ed_sim(head, mod_query, frame_emb)
+        return conv_st_ed_masked(head, sim, frame_mask[None, :, :])
     q = nn.linear(head["video_query_linear"], mod_query,
                   mod_query.dtype)
-    if cross:
-        sim = jnp.einsum("md,nld->mnl", q, frame_emb,
-                         preferred_element_type=jnp.float32)
-        nq, nv, L = sim.shape
-        flat = sim.reshape(nq * nv, L)
-        st = conv1d_same(head["video_st_predictor"]["kernel"], flat)
-        ed = conv1d_same(head["video_ed_predictor"]["kernel"], flat)
-        st = st.reshape(nq, nv, L)
-        ed = ed.reshape(nq, nv, L)
-        fmask = frame_mask[None, :, :]
-    else:
-        sim = jnp.einsum("bd,bld->bl", q, frame_emb,
-                         preferred_element_type=jnp.float32)
-        st = conv1d_same(head["video_st_predictor"]["kernel"], sim)
-        ed = conv1d_same(head["video_ed_predictor"]["kernel"], sim)
-        fmask = frame_mask
-    st = nn.mask_logits(st, fmask)
-    ed = nn.mask_logits(ed, fmask)
-    return st, ed
+    sim = jnp.einsum("bd,bld->bl", q, frame_emb,
+                     preferred_element_type=jnp.float32)
+    return conv_st_ed_masked(head, sim, frame_mask)
 
 
 def get_video_level_scores(mod_query: jax.Array, frame_emb: jax.Array,

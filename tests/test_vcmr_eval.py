@@ -553,17 +553,23 @@ def test_ranker_exact_vs_numpy_with_ties():
                         max_before_nms=60, vfeat_interval=1.5,
                         max_clip_len=L)
     r = np.random.RandomState(3)
-    # quantized logits force many exact ties in the span products
-    st = np.round(r.randn(nq, n_rows, L) * 2) / 2
-    ed = np.round(r.randn(nq, n_rows, L) * 2) / 2
+    # quantized logits force many exact ties in the span products; the
+    # ranker convs selected rows itself — scalar st/ed kernels (1x and
+    # 2x) keep the numpy reference exact while st != ed
+    sim = np.round(r.randn(nq, n_rows, L) * 2) / 2
     scores = np.round(r.randn(nq, n_rows) * 4) / 8
     scores[:, n_videos:] = 10.0  # pad rows must never be selected
     gt = r.randint(0, n_videos, (nq,)).astype(np.int32)
+    fmask = np.ones((n_rows, L), np.float32)
+    fmask[:, L - 3:] = 0.0       # masked tail frames
+    head = {"video_st_predictor": {"kernel": jnp.ones((1,), jnp.float32)},
+            "video_ed_predictor": {"kernel": jnp.full((1,), 2.0,
+                                                      jnp.float32)}}
 
     rank, max_v = _make_ranker(opts, n_videos, n_rows, L)
     st_gt, ed_gt, tsc, tidx, sc2, fidx = map(np.asarray, jax.jit(rank)(
-        jnp.asarray(st, jnp.float32), jnp.asarray(ed, jnp.float32),
-        jnp.asarray(scores, jnp.float32), jnp.asarray(gt)))
+        jnp.asarray(sim, jnp.float32), jnp.asarray(scores, jnp.float32),
+        jnp.asarray(gt), head, jnp.asarray(fmask)))
 
     band = tvr_metrics.generate_min_max_length_mask(
         (1, 1, L, L), opts.min_pred_l, opts.max_pred_l)[0, 0]
@@ -573,8 +579,10 @@ def test_ranker_exact_vs_numpy_with_ties():
     sharp = np.array(jnp.exp(
         opts.q2c_alpha * jnp.asarray(scores, jnp.float32)))
     sharp[:, n_videos:] = -1.0
-    st_p = np.asarray(jax.nn.softmax(jnp.asarray(st, jnp.float32), -1))
-    ed_p = np.asarray(jax.nn.softmax(jnp.asarray(ed, jnp.float32), -1))
+    st_l = sim.astype(np.float32) * 1.0 + (1.0 - fmask[None]) * -1e4
+    ed_l = sim.astype(np.float32) * 2.0 + (1.0 - fmask[None]) * -1e4
+    st_p = np.asarray(jax.nn.softmax(jnp.asarray(st_l, jnp.float32), -1))
+    ed_p = np.asarray(jax.nn.softmax(jnp.asarray(ed_l, jnp.float32), -1))
     k = opts.max_before_nms
     for qi in range(nq):
         order = np.argsort(-sharp[qi], kind="stable")[:max_v]

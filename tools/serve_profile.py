@@ -30,7 +30,7 @@ import numpy as np
 
 from hero_tpu.evaluation.vcmr_eval import (VcmrEvalOpts, pack_query_arrays,
                                            make_fused_packed_scorer,
-                                           _make_ranker, _mod_query_preds)
+                                           _make_ranker, _mod_query_sim)
 from hero_tpu.models import pretrain
 from hero_tpu.utils.misc import enable_fast_rng
 
@@ -99,18 +99,19 @@ def main():
 
     @jax.jit
     def preds_only(params, mod, fe, fm):
-        return _mod_query_preds(params, mod, fe, fm)
+        return _mod_query_sim(params, mod, fe, fm)
 
-    timeit("einsums+conv",
+    timeit("einsums(sim+scores)",
            lambda: preds_only(params, mod, frame_embs, frame_masks),
-           lambda o: float(jnp.sum(o[2][0])))
+           lambda o: float(jnp.sum(o[1][0])))
 
-    st, ed, scores = map(jax.device_put,
-                         preds_only(params, mod, frame_embs, frame_masks))
+    sim, scores, fmask32 = map(
+        jax.device_put, preds_only(params, mod, frame_embs, frame_masks))
     rank, _ = _make_ranker(opts, Nv, Nv, L)
     rank_j = jax.jit(rank)
     gt = jnp.zeros((n_queries,), jnp.int32)
-    timeit("rank(topk/band)", lambda: rank_j(st, ed, scores, gt),
+    timeit("rank(conv_sel/topk/band)",
+           lambda: rank_j(sim, scores, gt, params["head"], fmask32),
            lambda o: float(jnp.sum(o[4])))
 
     fused, _ = make_fused_packed_scorer(params, cfg, vsm, opts, frame_embs,
