@@ -194,15 +194,16 @@ def _check_ranking_weights(vsm: VsmConfig):
 def _make_ranker(opts: VcmrEvalOpts, n_videos: int, n_rows_total: int,
                  L: int):
     """The post-encoder phase-2 core shared by every scorer flavor:
-    sharpen → top-``max_v`` videos → selected/GT span softmaxes → in-band
-    span scores → exact two-level top-k.
+    sharpen → top-``max_v`` videos → selected/GT st/ed convs + masking +
+    span softmaxes → in-band span scores → chunked exact top-k.
 
-    Span softmaxes run AFTER video selection: softmax is row-wise over
-    L, so softmax(gather(st)) == gather(softmax(st)) exactly — ~Nv/max_v
-    times less softmax work, and only the small selected/GT tensors ever
-    leave the device (the dense (Nq, Nv, L) probability cubes stay
-    unmaterialized; the reference materializes + ships them,
-    eval_vcmr.py:237-259)."""
+    Convs, masking, and softmaxes run AFTER video selection: all three
+    are row-local over L, so conv(gather(sim)) == gather(conv(sim)) and
+    softmax(gather(st)) == gather(softmax(st)) exactly — ~Nv/max_v
+    times less conv/softmax work, and only the small selected/GT
+    tensors ever leave the device (the dense (Nq, Nv, L) logit and
+    probability cubes stay unmaterialized; the reference materializes +
+    ships them, eval_vcmr.py:237-259)."""
     max_v = min(opts.max_vcmr_video, n_videos)
     # the min/max-span band keeps only ~(max_l-min_l+1) of L diagonals of
     # the (L, L) span matrix — enumerate its positions host-side and score

@@ -2,7 +2,7 @@
 
 Phase 1 embeds a synthetic 2000-video x 100-frame corpus; phase 2 scores
 query batches against it through the fused scorer (softmax spans, exp
-sharpening, top-k videos, span cube + band mask, exact two-level top-k).
+sharpening, top-k videos, span cube + band mask, chunked exact top-k).
 Reports phase-1 videos/s and phase-2 queries/s (the serving number),
 prints ONE JSON line, and writes BENCH_SERVE.json at the repo root.
 
@@ -25,8 +25,8 @@ einsum/conv/softmax math, then its cube + sort ranking):
   int64 index payload.  Modeled at 2e9 elements/s, the upper end of
   published cub/thrust segmented-sort throughput on V100; this is the
   reference's dominant phase-2 cost and the term the TPU path avoids
-  entirely (band-gather + exact two-level top-k needs no dense cube and
-  no sort).
+  entirely (band-gather + chunked exact top-k needs no dense cube and
+  no full sort).
 - time/batch = max(compute, memory) + sort.
 """
 
